@@ -1,0 +1,21 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests exercise TPU-shaped code paths (sharding included) without TPU
+hardware; the driver separately compile-checks the real multi-chip path via
+__graft_entry__.dryrun_multichip.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
