@@ -1,0 +1,432 @@
+"""slow_flow CLI — stage 2: per-jet multi-frame flow estimation.
+
+Mirrors the reference binary's contract (slow_flow.cpp):
+
+    python -m slowflow_tpu.cli.slow_flow <cfg> [-overwrite] [-resume]
+        [-deep_settings S] [-threads N] [-fr K] [-jet J] [-batch B]
+
+Reads `adaptiveFR.dat` (tuning table) and `<sequence>/quantil.dat` (stage-1
+output), derives the adaptive high/low frame rates, then for each jet runs the
+EPIC-initialized (or coarse-to-fine) multi-frame variational minimization
+forward and backward, writing Middlebury `.flo` files, occlusion `.pbm` maps,
+flow visualizations, and a `config.cfg` snapshot including the sequence
+normalization statistics.
+
+TPU redesign: the OpenMP-over-jets loop becomes a batched `vmap` dispatch
+(`-batch B` jets per device call; see variational_mt_batched); `-threads` is
+accepted for CLI parity and ignored.
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..config import ParameterList, Verbosity
+from ..io import write_flo, read_edges, read_matches, write_pbm
+from ..io.images import write_image
+from ..utils.colorwheel import flow_color_img
+from ..utils.demosaic import raw_weighting
+from ..variational.multiframe import MultiFrameParams, variational_mt_batched
+from ..core.image import normalize_sequence, rgb_to_lab, resize_bilinear
+from ..epic import EpicParams, epic
+from ..epic.edges import detect_edges
+from ..epic.matching import grid_matches
+from .common import frame_path, load_frame, unique_output_dir
+
+
+def set_default(params: ParameterList) -> None:
+    """Default parameters (slow_flow.cpp:64-128)."""
+    defaults = {
+        "verbose": "0", "threads": "1",
+        "16bit": "1", "raw": "1", "raw_weight": "1", "raw_demosaicing": "1",
+        "raw_red_loc": "1,0",
+        "Jets": "1", "adaptive": "1", "max_fps": "200", "ref_fps": "20",
+        "scale": "1.0", "sigma": "0.0", "deep_matching": "1", "dm_scale": "1.0",
+        "slow_flow_method": "symmetric", "slow_flow_S": "2",
+        "slow_flow_dataterm": "1", "slow_flow_smoothing": "1",
+        "slow_flow_alpha": "4.0", "slow_flow_gamma": "6.0",
+        "slow_flow_delta": "1.0",
+        "slow_flow_rho_0": "1", "slow_flow_rho_1": "1",
+        "slow_flow_omega_0": "0", "slow_flow_omega_1": "2",
+        "slow_flow_layers": "1", "slow_flow_p_scale": "0.9",
+        "slow_flow_niter_alter": "10", "slow_flow_niter_graphc": "10",
+        "slow_flow_niter_outer": "10", "slow_flow_thres_outer": "1e-5",
+        "slow_flow_niter_inner": "1", "slow_flow_thres_inner": "1e-5",
+        "slow_flow_niter_solver": "30", "slow_flow_sor_omega": "1.9",
+        "slow_flow_occlusion_reasoning": "1", "slow_flow_occlusion_penalty": "0.1",
+        "slow_flow_occlusion_alpha": "0.1", "slow_flow_output_occlusions": "1",
+        "slow_flow_robust_color": "1", "slow_flow_robust_color_eps": "0.001",
+        "slow_flow_robust_color_truncation": "0.5",
+        "slow_flow_robust_reg": "1", "slow_flow_robust_reg_eps": "0.001",
+        "slow_flow_robust_reg_truncation": "0.5",
+    }
+    for k, v in defaults.items():
+        params.insert(k, v, overwrite=True)
+
+
+def read_adaptive_table(search_dirs):
+    """adaptiveFR.dat tuning table (slow_flow.cpp:283-304)."""
+    hfr_quantil, lfr_rate = 2.0, 4
+    found = False
+    for d in search_dirs:
+        p = os.path.join(d, "adaptiveFR.dat")
+        if os.path.exists(p):
+            for line in open(p):
+                parts = line.strip().split("\t")
+                if len(parts) < 2:
+                    continue
+                if parts[0] == "opt_hfr_quantil":
+                    hfr_quantil = float(parts[1])
+                elif parts[0] == "opt_lfr_rate":
+                    lfr_rate = int(float(parts[1]))
+            found = True
+            break
+    return hfr_quantil, lfr_rate, found
+
+
+def compute_rates(quantil, hfr_quantil, lfr_rate_mult, keyframes, steps):
+    """Adaptive high/low frame-rate derivation (slow_flow.cpp:322-351)."""
+    if keyframes == 0:
+        hfr_rate = max(1.0, round(hfr_quantil / quantil))
+        lfr_rate = hfr_rate * lfr_rate_mult
+        lfr_rate = hfr_rate * lfr_rate
+        m = round(lfr_rate / hfr_rate)
+        lfr_rate = hfr_rate * m
+        return int(hfr_rate), int(lfr_rate)
+    hfr_rate = int(max(1.0, round(hfr_quantil / quantil)))
+    while hfr_rate < keyframes and keyframes % (hfr_rate * steps) != 0:
+        hfr_rate += 1
+    lfr_rate = min(keyframes, hfr_rate * lfr_rate_mult)
+    while ((lfr_rate * steps < keyframes
+            and (keyframes % (lfr_rate * steps) != 0
+                 or (keyframes % (lfr_rate * steps) == 0
+                     and (lfr_rate * steps) % (hfr_rate * steps) != 0)))
+           or (lfr_rate * steps >= keyframes
+               and (lfr_rate * steps) % (hfr_rate * steps) != 0)):
+        lfr_rate += 1
+    lfr_rate = min(keyframes // steps, lfr_rate)
+    return hfr_rate, lfr_rate
+
+
+def _epic_init(im_ref_lab, edges, matches, epic_params, target_hw, steps,
+               dm_scale):
+    """EPIC interpolation producing the variational initialization, rescaled
+    to the working resolution and divided by `steps`
+    (slow_flow.cpp:800-843)."""
+    import jax.numpy as jnp
+
+    flow = epic(im_ref_lab, matches, edges, epic_params)
+    h, w = target_hw
+    fh, fw = h / flow.shape[0], w / flow.shape[1]
+    if (fh, fw) != (1.0, 1.0):
+        f = resize_bilinear(jnp.asarray(np.moveaxis(flow, -1, 0)), h, w)
+        flow = np.moveaxis(np.asarray(f), 0, -1)
+    wx = flow[..., 0] * fw / steps
+    wy = flow[..., 1] * fh / steps
+    return wx.astype(np.float32), wy.astype(np.float32)
+
+
+def run(cfg_path: str, overwrite=False, resume=False, deep_settings="",
+        selected_fr=-1, selected_jet=-1, threads=None, batch=1,
+        max_flow_scale=3.0) -> int:
+    params = ParameterList()
+    set_default(params)
+    params.read(cfg_path)
+
+    enable_dm = params.parameter("deep_matching", type=bool)
+    scale = params.parameter("scale", "1.0", float)
+    start = params.sequence_start
+    steps = params.parameter("slow_flow_S", type=int) - 1
+    ref = steps
+    max_fps = params.parameter("max_fps", "1", int)
+    sintel = params.parameter("sintel", "0", bool)
+    subframes = params.parameter("subframes", "0", bool)
+
+    seq_dir, fmt = os.path.split(params.file)
+    params.file = seq_dir + "/"
+    params.insert("format", fmt, True)
+    fmt_flow = os.path.splitext(fmt)[0]
+
+    if sintel and not subframes:
+        start *= 1000
+    params.sequence_start = start
+
+    params.output = unique_output_dir(params.output, resume, overwrite)
+
+    epic_params = EpicParams.sintel()
+
+    # ------------------------------------------------- adaptive frame rates
+    hfr_quantil, lfr_rate_mult, have_table = read_adaptive_table(
+        [os.path.dirname(os.path.abspath(cfg_path)), os.getcwd(),
+         os.path.dirname(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))))])
+    adaptive = have_table and params.parameter("adaptive", "0", bool)
+
+    max_flow = 50.0
+    if params.exists("max_flow"):
+        max_flow = max(5.0, params.parameter("max_flow", type=float))
+    quantil = 1.0
+    orig_max_flow = 0.0
+    hfr_rate, lfr_rate = 1, 4
+    qf = os.path.join(seq_dir, "quantil.dat")
+    if not params.exists("max_flow") and os.path.exists(qf):
+        lines = [ln.strip() for ln in open(qf) if ln.strip()]
+        quantil = float(lines[0])
+        orig_max_flow = max_flow_scale * (
+            float(lines[1]) if len(lines) > 1 else quantil)
+        if adaptive:
+            keyframes = int(params.parameter("max_fps", type=float)
+                            // params.parameter("ref_fps", type=float))
+            hfr_rate, lfr_rate = compute_rates(
+                quantil, hfr_quantil, lfr_rate_mult, keyframes, steps)
+            print(f"hfr_rate {hfr_rate}\nlfr_rate {lfr_rate}")
+        else:
+            skip = max_fps // max(1, params.parameter(
+                "jet_fps", str(max_fps), int))
+            max_flow = max(5.0, orig_max_flow * scale * ref * skip)
+    else:
+        adaptive = False
+
+    start_fr, end_fr = 0, (1 + int(adaptive))
+    if selected_fr >= 0:
+        start_fr, end_fr = selected_fr, selected_fr + 1
+
+    for ad_fr in range(start_fr, end_fr):
+        cfg = ParameterList(clone=params)
+        if adaptive:
+            rate = hfr_rate if ad_fr == 0 else lfr_rate
+            cfg.output = os.path.join(
+                cfg.output, "high_fr" if ad_fr == 0 else "low_fr") + "/"
+            cfg.insert("jet_fps", str(max_fps // rate), True)
+            skip = rate
+            max_flow_j = max(5.0, orig_max_flow * scale * ref * rate)
+        else:
+            jet_fps = cfg.parameter("jet_fps", str(max_fps), int)
+            skip = int(max_fps / jet_fps)
+            max_flow_j = max_flow
+
+        dm_scale = params.parameter("dm_scale", "1.0", float)
+        if enable_dm and max_flow_j > 150:
+            dm_scale *= 0.5
+            max_flow_j = max(5.0, 0.5 * max_flow_j)
+
+        _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale,
+                      dm_scale, sintel, enable_dm, epic_params, resume,
+                      selected_jet, batch)
+    print("Done!")
+    return 0
+
+
+def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
+                  sintel, enable_dm, epic_params, resume, selected_jet, batch):
+    import jax.numpy as jnp
+
+    jets = cfg.Jets
+    frames = 1 + (jets + 2) * steps
+
+    start_j, end_j = 0, jets
+    start_f, end_f = 0, frames
+    if resume and selected_jet >= 0:
+        start_f = selected_jet * steps
+        end_f = min(frames, 1 + (selected_jet + 3) * steps)
+        start_j = selected_jet
+        end_j = min(jets, selected_jet + 1)
+
+    os.makedirs(cfg.output, exist_ok=True)
+    os.makedirs(cfg.output + "sequence/", exist_ok=True)
+    os.makedirs(cfg.output + "tmp/", exist_ok=True)
+    if cfg.parameter("slow_flow_occlusion_reasoning", "0", bool):
+        os.makedirs(cfg.output + "occlusion/", exist_ok=True)
+
+    red_loc = cfg.split_parameter("raw_red_loc", "0,0")
+
+    # ------------------------------------------------------ read the window
+    seq = {}
+    for f in range(start_f, end_f):
+        path = frame_path(cfg.file, fmt, start, (f - ref) * skip, sintel)
+        print(f"Reading {path}...")
+        seq[f] = load_frame(path, cfg, scale, red_loc)
+        if cfg.verbosity(Verbosity.WRITE_FILES):
+            out = frame_path(cfg.output + "sequence/", "frame_%i.png",
+                             start, (f - ref) * skip, False)
+            write_image(out, np.moveaxis(seq[f], 0, -1),
+                        bit16=cfg.parameter("16bit", "0", bool))
+    h, w = seq[start_f].shape[1:]
+
+    channel_w = np.ones((3, h, w), np.float32)
+    if cfg.exists("raw") and cfg.parameter("raw", "0", bool):
+        channel_w = raw_weighting(h, w, red_loc[0], red_loc[1],
+                                  cfg.parameter("raw_weight", "1.0", float))
+
+    # 8-bit copies for EPIC init before normalization
+    norm16 = cfg.parameter("16bit", "0", bool)
+    seq8 = {f: (img / 256.0 if norm16 else img) for f, img in seq.items()}
+
+    # normalize intensities; record stats in the config snapshot
+    stack = np.stack([seq[f] for f in range(start_f, end_f)])
+    stack, avg, std = normalize_sequence(stack)
+    for i, f in enumerate(range(start_f, end_f)):
+        seq[f] = stack[i]
+    for c in range(3):
+        cfg.insert(f"slow_flow_img_norm_avg_{c + 1}", repr(float(avg[c])), True)
+        cfg.insert(f"slow_flow_img_norm_std_{c + 1}", repr(float(std[c])), True)
+
+    with open(cfg.output + "config.cfg", "w") as fh:
+        fh.write("# SlowFlow variational estimation\n")
+        fh.write(cfg.cfg_string())
+
+    p = MultiFrameParams.from_parameter_list(cfg)
+    norm_avg = np.asarray(avg, np.float32)
+    norm_std = np.asarray(std, np.float32)
+
+    results = ["frame\ttime\n"]
+
+    def jet_window(j, backward=False):
+        """[2*ref+1, 3, H, W] window around jet j (forward) or the reversed
+        window for the backward pass (slow_flow.cpp:716-724)."""
+        f0 = j * steps
+        idx = list(range(f0, f0 + 2 * ref + 1))
+        if backward:
+            idx = list(reversed([i + steps for i in idx]))
+        return np.stack([seq[i] for i in idx])
+
+    def epic_flow_init(j, backward=False):
+        """EPIC init from edges+matches; files are ingested from tmp/ when
+        present (SED/DeepMatching outputs), else computed natively."""
+        a = j * steps + ref
+        b = j * steps + 2 * ref
+        if backward:
+            a, b = b, a
+        src8 = seq8[a]
+        dst8 = seq8[b]
+        edges_f = cfg.output + f"tmp/edges_{cfg.sequence_start + (a - ref) * skip}.dat"
+        match_f = (cfg.output + f"tmp/matches_{cfg.sequence_start + (a - ref) * skip}"
+                   f"_{cfg.sequence_start + (b - ref) * skip}.dat")
+        if os.path.exists(edges_f):
+            edges = read_edges(edges_f, w, h)
+        else:
+            edges = np.asarray(detect_edges(jnp.asarray(src8)))
+        if os.path.exists(match_f):
+            matches = read_matches(match_f)
+        else:
+            radius = int(min(64, max(8, math.ceil(
+                cfg.parameter("max_flow", "50", float) if cfg.exists("max_flow")
+                else 50))))
+            matches = grid_matches(src8, dst8, radius=radius)
+        imlab = np.asarray(rgb_to_lab(jnp.asarray(src8)))
+        return _epic_init(imlab, edges, matches, epic_params, (h, w), steps,
+                          dm_scale)
+
+    # ------------------------------------------------------- per-jet batches
+    def output_name(j, backward):
+        off = (j * steps + (steps if backward else 0)) * skip
+        suffix = "_back" if backward else ""
+        if not sintel:
+            name = (fmt_flow % (start + off)) + suffix + ".flo"
+        else:
+            name = (fmt_flow % (start + off, 0)) + suffix + ".flo"
+        return os.path.join(cfg.output, name)
+
+    for backward in (False, True):
+        pending = []
+        for j in range(start_j, end_j):
+            out_file = output_name(j, backward)
+            if resume and os.path.exists(out_file):
+                print(f"{'Backward' if backward else 'Forward'} flow for jet "
+                      f"{j} already exists!")
+                continue
+            pending.append(j)
+
+        for i in range(0, len(pending), max(1, batch)):
+            group = pending[i:i + max(1, batch)]
+            t0 = time.time()
+            windows = np.stack([jet_window(j, backward) for j in group])
+            if enable_dm:
+                inits = [epic_flow_init(j, backward) for j in group]
+                wx0 = np.stack([ini[0] for ini in inits])
+                wy0 = np.stack([ini[1] for ini in inits])
+            else:
+                wx0 = np.zeros((len(group), h, w), np.float32)
+                wy0 = np.zeros((len(group), h, w), np.float32)
+
+            pb = p
+            if backward and cfg.exists("method") \
+                    and cfg.parameter("method") == "forward":
+                pb = MultiFrameParams(**{**p.__dict__, "one_direction": True})
+
+            cw = np.broadcast_to(channel_w, (len(group), 3, h, w))
+            na = np.broadcast_to(norm_avg, (len(group), 3))
+            ns = np.broadcast_to(norm_std, (len(group), 3))
+            wx, wy, occ = variational_mt_batched(wx0, wy0, windows, pb, cw,
+                                                 na, ns)
+            wx = np.asarray(wx) * steps
+            wy = np.asarray(wy) * steps
+            occ = np.asarray(occ)
+            dt = time.time() - t0
+
+            for k, j in enumerate(group):
+                out_file = output_name(j, backward)
+                write_flo(out_file, np.stack([wx[k], wy[k]], -1))
+                if not backward:
+                    # occlusion map + visualization (forward pass only,
+                    # slow_flow.cpp:891-925)
+                    if p.occlusion_reasoning and cfg.parameter(
+                            "slow_flow_output_occlusions", "0", bool):
+                        occ_img = ((occ[k] + 1.0) * 0.5 * 255).astype(np.uint8)
+                        write_pbm(cfg.output + "occlusion/"
+                                  f"frame_{start + j * steps * skip}.pbm",
+                                  occ_img)
+                    vis = flow_color_img(wx[k], wy[k])
+                    write_image(cfg.output
+                                + f"frame_{start + j * steps * skip}.png", vis)
+                results.append(f"{j * steps * skip}\t {dt / len(group):.1f}\n")
+                print(f"{'Backward' if backward else 'Forward'} flow jet {j} "
+                      f"finished! ({dt / len(group):.1f} s)")
+
+    with open(cfg.output + "results.info", "w") as fh:
+        fh.write("SlowFlow variational estimation\n\n")
+        fh.writelines(results)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    cfg_path = argv[0]
+    if not os.path.exists(cfg_path):
+        print(f"Couldn't find {cfg_path}!", file=sys.stderr)
+        return -1
+    kw = {}
+    i = 1
+    while i < len(argv):
+        a = argv[i]; i += 1
+        if a == "-overwrite":
+            kw["overwrite"] = True
+        elif a == "-resume":
+            kw["resume"] = True
+        elif a == "-deep_settings":
+            kw["deep_settings"] = argv[i]; i += 1
+        elif a == "-threads":
+            kw["threads"] = int(argv[i]); i += 1
+        elif a == "-fr":
+            kw["selected_fr"] = int(argv[i]); i += 1
+        elif a == "-jet":
+            kw["selected_jet"] = int(argv[i]); i += 1
+            kw["resume"] = True
+        elif a == "-batch":
+            kw["batch"] = int(argv[i]); i += 1
+        elif a in ("-h", "-help"):
+            print(__doc__)
+            return 0
+        else:
+            print(f"unknown argument {a}", file=sys.stderr)
+    return run(cfg_path, **kw)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

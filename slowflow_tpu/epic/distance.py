@@ -1,0 +1,185 @@
+"""Geodesic distance transform with closest-seed label propagation.
+
+The reference (`weighted_distance_transform`, epic_aux.cpp:92-179) runs four
+sequential diagonal sweeps of the eikonal-style update
+
+  t0 = min(t1, t2) + C                      if |t1 - t2| > C
+  t0 = (t1 + t2 + sqrt(2 C^2 - (t1-t2)^2))/2  otherwise
+
+with t1 the already-updated vertical neighbour and t2 the horizontal one.
+The TPU version iterates a parallel min-plus relaxation: every pixel considers
+all four (vertical, horizontal) quadrant pairs — exactly the union of the four
+sweep directions — and takes the minimum, with the closest-seed label carried
+along. Iterated to a fixpoint (same fixpoint as the sweeps; the reference's
+converged field satisfies the identical local consistency condition).
+
+Seed graph construction (`ngh_labels_to_spmat`, epic_aux.cpp:226-283) and the
+per-seed Dijkstra run on the host (slowflow_tpu.native).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..native import knn_graph_all
+
+BIG = 1e18  # stands in for +inf (avoids inf-inf NaNs inside the update)
+
+
+def _shift_with(x, lab, dy, dx):
+    """Shift both distance and label; out-of-range gets (BIG, -1)."""
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    xs = jnp.pad(x, (pad_y, pad_x), constant_values=BIG)
+    ls = jnp.pad(lab, (pad_y, pad_x), constant_values=-1)
+    h, w = x.shape
+    sl = (slice(pad_y[1], pad_y[1] + h), slice(pad_x[1], pad_x[1] + w))
+    return xs[sl], ls[sl]
+
+
+@partial(jax.jit, static_argnames=("max_iter", "check_every"))
+def distance_transform(cost, seed_dist, seed_labels, max_iter: int = 256,
+                       min_change: float = 1.0, check_every: int = 8):
+    """Parallel geodesic DT.
+
+    cost:        [H, W] per-pixel traversal cost
+    seed_dist:   [H, W] initial distances (cost at seeds, BIG elsewhere)
+    seed_labels: [H, W] int32 initial labels (seed index at seeds, -1 elsewhere)
+
+    Returns (dmap, labels).
+    """
+    def one_iter(dmap, labels):
+        tv_a, lv_a = _shift_with(dmap, labels, -1, 0)  # north
+        tv_b, lv_b = _shift_with(dmap, labels, 1, 0)   # south
+        th_a, lh_a = _shift_with(dmap, labels, 0, -1)  # west
+        th_b, lh_b = _shift_with(dmap, labels, 0, 1)   # east
+
+        best_t = dmap
+        best_l = labels
+        for tv, lv in ((tv_a, lv_a), (tv_b, lv_b)):
+            for th, lh in ((th_a, lh_a), (th_b, lh_b)):
+                dt12 = jnp.abs(tv - th)
+                tmin = jnp.minimum(tv, th)
+                lmin = jnp.where(tv < th, lv, lh)
+                degenerate = dt12 > cost
+                t_quad = jnp.sqrt(jnp.maximum(2 * cost * cost - dt12 * dt12, 0.0))
+                t0 = jnp.where(degenerate, tmin + cost,
+                               0.5 * (tv + th + t_quad))
+                t0 = jnp.minimum(t0, BIG)
+                upd = t0 < best_t
+                best_t = jnp.where(upd, t0, best_t)
+                best_l = jnp.where(upd, lmin, best_l)
+        return best_t, best_l
+
+    def block(carry):
+        dmap, labels, it, change = carry
+        prev = dmap
+
+        def inner(_, c):
+            return one_iter(*c)
+
+        dmap, labels = jax.lax.fori_loop(0, check_every, inner, (dmap, labels))
+        change = jnp.max(jnp.where(dmap < prev,
+                                   jnp.minimum(prev - dmap, 1e9), 0.0))
+        return dmap, labels, it + check_every, change
+
+    def cond(carry):
+        _, _, it, change = carry
+        return (it < max_iter) & (change > 0.0)
+
+    dmap, labels, _, _ = jax.lax.while_loop(
+        cond, block, (seed_dist, seed_labels, jnp.int32(0),
+                      jnp.float32(jnp.inf)))
+    return dmap, labels
+
+
+def seed_graph(labels: np.ndarray, dmap: np.ndarray, ns: int):
+    """Seed-adjacency CSR graph from label borders (ngh_labels_to_spmat).
+
+    Edge weight between labels l0/l1 = min over their border pixels of
+    d[p] + d[q]. Returns (indptr, indices, data) of the symmetric CSR.
+    """
+    labels = np.asarray(labels)
+    dmap = np.asarray(dmap, np.float64)
+    pairs = []
+    costs = []
+    # horizontal borders
+    l0 = labels[:, 1:]; l1 = labels[:, :-1]
+    m = l0 != l1
+    if m.any():
+        pairs.append(np.stack([l0[m], l1[m]], 1))
+        costs.append((dmap[:, 1:][m] + dmap[:, :-1][m]))
+    # vertical borders
+    l0 = labels[1:, :]; l1 = labels[:-1, :]
+    m = l0 != l1
+    if m.any():
+        pairs.append(np.stack([l0[m], l1[m]], 1))
+        costs.append((dmap[1:, :][m] + dmap[:-1, :][m]))
+
+    if not pairs:
+        indptr = np.zeros(ns + 1, np.int32)
+        return indptr, np.zeros(0, np.int32), np.zeros(0, np.float32)
+
+    pairs = np.concatenate(pairs, 0)
+    costs = np.concatenate(costs, 0)
+    valid = (pairs >= 0).all(1)
+    pairs = pairs[valid]
+    costs = costs[valid]
+    lo = pairs.min(1).astype(np.int64)
+    hi = pairs.max(1).astype(np.int64)
+    key = lo * ns + hi
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    cost_s = costs[order]
+    uniq_key, start = np.unique(key_s, return_index=True)
+    min_cost = np.minimum.reduceat(cost_s, start)
+    lo_u = (uniq_key // ns).astype(np.int32)
+    hi_u = (uniq_key % ns).astype(np.int32)
+
+    rows = np.concatenate([lo_u, hi_u])
+    cols = np.concatenate([hi_u, lo_u])
+    vals = np.concatenate([min_cost, min_cost]).astype(np.float32)
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(ns + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    return indptr, cols.astype(np.int32), vals
+
+
+def dist_trf_nnfield(seeds: np.ndarray, cost: np.ndarray, nn: int,
+                     max_iter: int = 256):
+    """Closest seeds by geodesic distance (dist_trf_nnfield_subset,
+    epic_aux.cpp:328-375) with queries = the seeds themselves.
+
+    seeds: [ns, 2] int (x, y); cost: [H, W] float32.
+    Returns (best [ns, nn], dist [ns, nn], labels [H, W], dmap [H, W]).
+    """
+    h, w = cost.shape
+    ns = len(seeds)
+    seed_dist = np.full((h, w), BIG, np.float32)
+    seed_labels = np.full((h, w), -1, np.int32)
+    sx = np.clip(seeds[:, 0].astype(np.int64), 0, w - 1)
+    sy = np.clip(seeds[:, 1].astype(np.int64), 0, h - 1)
+    # later seeds win on collisions (reference loop order, epic_aux.cpp:304-308)
+    seed_dist[sy, sx] = np.asarray(cost)[sy, sx]
+    seed_labels[sy, sx] = np.arange(ns, dtype=np.int32)
+
+    dmap, labels = distance_transform(
+        jnp.asarray(cost, jnp.float32), jnp.asarray(seed_dist),
+        jnp.asarray(seed_labels), max_iter=max_iter)
+    dmap = np.asarray(dmap)
+    labels = np.asarray(labels)
+
+    indptr, indices, data = seed_graph(labels, dmap, ns)
+    nnf, dis = knn_graph_all(indptr, indices, data, nn)
+
+    # queries are the seeds: distance at the query pixel plus graph distance
+    d_at_seed = dmap[sy, sx]
+    lab_at_seed = labels[sy, sx]
+    best = nnf[lab_at_seed]
+    dist = d_at_seed[:, None] + dis[lab_at_seed]
+    return best, dist, labels, dmap

@@ -1,0 +1,98 @@
+"""Sparse grid matching — the built-in replacement for the DeepMatching binary.
+
+The reference invokes an external `deepmatching` executable and parses its
+`x1 y1 x2 y2` text output (slow_flow.cpp:766-784, io.c:23-47). The framework
+ingests those files when present; this module provides a native matcher with
+the same output contract: for a grid of points in im1, find the integer
+displacement in [-radius, radius]^2 minimizing the sum of absolute differences
+over a local patch, with a forward-backward consistency check.
+
+TPU formulation: instead of per-patch loops, scan over displacements — each
+step is one shifted absolute-difference image plus a box filter (all fused
+elementwise/stencil work), with a running argmin kept at the grid points only.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _box_filter(x, r: int):
+    """Sum over a (2r+1)^2 window via two cumsum passes (integral image)."""
+    pad = jnp.pad(x, ((r + 1, r), (r + 1, r)))
+    ii = jnp.cumsum(jnp.cumsum(pad, axis=0), axis=1)
+    h, w = x.shape
+    d = 2 * r + 1
+    return (ii[d:, d:] - ii[:-d, d:] - ii[d:, :-d] + ii[:-d, :-d])[:h, :w]
+
+
+@partial(jax.jit, static_argnames=("radius", "patch_r"))
+def _match_costs(g1, g2, ys, xs, radius: int, patch_r: int):
+    """For each grid point, SAD cost over all (2*radius+1)^2 displacements.
+
+    g1, g2: [H, W] luminance. Returns [P, D, D] costs (D = 2*radius+1).
+    """
+    d = 2 * radius + 1
+
+    def one_disp(k, best):
+        dy = k // d - radius
+        dx = k % d - radius
+        shifted = _shift2(g2, dy, dx)
+        diff = jnp.abs(g1 - shifted)
+        # invalid (out of image) regions get high cost
+        valid = _shift2(jnp.ones_like(g2), dy, dx)
+        cost_map = _box_filter(diff + (1.0 - valid) * 1e3, patch_r)
+        c = cost_map[ys, xs]
+        return best.at[:, k].set(c)
+
+    costs = jnp.full((ys.shape[0], d * d), jnp.inf, jnp.float32)
+    costs = jax.lax.fori_loop(0, d * d, one_disp, costs)
+    return costs.reshape(ys.shape[0], d, d)
+
+
+def _shift2(x, dy, dx):
+    """out[y, x] = x[y + dy, x + dx], zero padded; dy/dx traced scalars."""
+    h, w = x.shape
+    big = jnp.pad(x, ((h, h), (w, w)))
+    return jax.lax.dynamic_slice(big, (h + dy, w + dx), (h, w))
+
+
+def grid_matches(im1: np.ndarray, im2: np.ndarray, step: int = 8,
+                 radius: int = 32, patch_r: int = 4,
+                 fb_threshold: float = 2.0) -> np.ndarray:
+    """Dense-grid matches between [3, H, W] images.
+
+    Returns [N, 4] float32 (x1, y1, x2, y2), forward-backward checked.
+    """
+    im1 = jnp.asarray(im1, jnp.float32)
+    im2 = jnp.asarray(im2, jnp.float32)
+    g1 = (0.299 * im1[0] + 0.587 * im1[1] + 0.114 * im1[2]) / 255.0
+    g2 = (0.299 * im2[0] + 0.587 * im2[1] + 0.114 * im2[2]) / 255.0
+    h, w = g1.shape
+    ys_np, xs_np = np.mgrid[step // 2:h:step, step // 2:w:step]
+    ys = jnp.asarray(ys_np.ravel())
+    xs = jnp.asarray(xs_np.ravel())
+
+    costs_f = _match_costs(g1, g2, ys, xs, radius, patch_r)
+    d = 2 * radius + 1
+    kf = jnp.argmin(costs_f.reshape(-1, d * d), axis=1)
+    dyf = kf // d - radius
+    dxf = kf % d - radius
+
+    # backward check: match the landing points of im2 back into im1
+    x2 = jnp.clip(xs + dxf, 0, w - 1)
+    y2 = jnp.clip(ys + dyf, 0, h - 1)
+    costs_b = _match_costs(g2, g1, y2, x2, radius, patch_r)
+    kb = jnp.argmin(costs_b.reshape(-1, d * d), axis=1)
+    dyb = kb // d - radius
+    dxb = kb % d - radius
+
+    fb_err = np.hypot(np.asarray(dxf + dxb), np.asarray(dyf + dyb))
+    keep = fb_err <= fb_threshold
+
+    out = np.stack([np.asarray(xs), np.asarray(ys),
+                    np.asarray(xs + dxf), np.asarray(ys + dyf)], 1)
+    return out[keep].astype(np.float32)

@@ -1,0 +1,281 @@
+"""Batched trajectory hypotheses.
+
+The reference's per-pixel `hypothesis` objects (utils/hypothesis.{h,cpp}) —
+heap-allocated flow arrays with occlusion labels and energies — become fixed-
+capacity padded tensors with validity masks (SURVEY.md §7 design stance):
+
+  flows   [H, W, K, J, 2]   per-jet *accumulated* flow (u, v)
+  occl    [H, W, K, J + 1]  occlusion label per frame (0 visible, 1 occluded)
+  energy  [H, W, K]
+  valid   [H, W, K]
+  jet_est [H, W, K]         source jet-estimation id
+
+All energies/distances are computed for the whole set in single vectorized
+dispatches; K is a static capacity (invalid slots carry +inf energy).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.penalty import Penalty
+from .accumulate import bilinear_sample
+
+UNKNOWN = 1e10
+
+
+@dataclass
+class HypothesisSet:
+    flows: np.ndarray    # [H, W, K, J, 2]
+    occl: np.ndarray     # [H, W, K, J+1]
+    energy: np.ndarray   # [H, W, K]
+    valid: np.ndarray    # [H, W, K] bool
+    jet_est: np.ndarray  # [H, W, K] int32
+
+    @classmethod
+    def empty(cls, h, w, k, j):
+        return cls(
+            flows=np.zeros((h, w, k, j, 2), np.float32),
+            occl=np.zeros((h, w, k, j + 1), np.int32),
+            energy=np.full((h, w, k), np.inf, np.float32),
+            valid=np.zeros((h, w, k), bool),
+            jet_est=np.zeros((h, w, k), np.int32),
+        )
+
+    @property
+    def K(self):
+        return self.flows.shape[2]
+
+    @property
+    def J(self):
+        return self.flows.shape[3]
+
+    def count(self):
+        return int(self.valid.sum())
+
+
+def adapt_fps(flows: np.ndarray, new_j: int) -> np.ndarray:
+    """Resample accumulated per-jet flow to a different jet count
+    (hypothesis.h:136-178). flows [..., J, 2] -> [..., new_j, 2]."""
+    J = flows.shape[-2]
+    if J == new_j:
+        return flows
+    skip = J / new_j
+    if skip >= 1:
+        idx = (np.arange(new_j) * skip + (skip - 1)).astype(int)
+        return flows[..., idx, :]
+    out = np.zeros(flows.shape[:-2] + (new_j, 2), flows.dtype)
+    for i in range(new_j):
+        off = int(np.floor(i * skip))
+        offm1 = int(np.floor((i - 1) * skip))
+        last = flows[..., offm1, :] if i > 0 else np.zeros_like(flows[..., 0, :])
+        out[..., i, :] = last + skip * (flows[..., off, :] - last)
+    return out
+
+
+# --------------------------------------------------------------------------
+# occlusion estimation per hypothesis
+# --------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=())
+def set_occlusions(px, py, flows, forward, backward, occ_threshold,
+                   fb_threshold):
+    """Per-frame occlusion labels from jet-flow consistency + FB check
+    (hypothesis::setOcclusions, hypothesis.cpp:172-221).
+
+    px/py: [...]; flows: [..., J, 2] accumulated; forward/backward [J, H, W, 2].
+    Returns occl [..., J+1] int32 (occluded stays occluded).
+    """
+    J = flows.shape[-2]
+    h, w = forward.shape[1:3]
+
+    def step(occ_prev, t):
+        prev_flow = jnp.where(t > 0, flows[..., jnp.maximum(t - 1, 0), :], 0.0)
+        x_tm1 = px + prev_flow[..., 0]
+        y_tm1 = py + prev_flow[..., 1]
+        inside1 = (x_tm1 >= 0) & (x_tm1 < w) & (y_tm1 >= 0) & (y_tm1 < h)
+        F = bilinear_sample(forward[t], jnp.clip(x_tm1, 0, w - 1),
+                            jnp.clip(y_tm1, 0, h - 1))
+        cur = flows[..., t, :]
+        jet_err = jnp.linalg.norm(cur - prev_flow - F, axis=-1)
+
+        x_t = px + cur[..., 0]
+        y_t = py + cur[..., 1]
+        inside2 = (x_t >= 0) & (x_t < w) & (y_t >= 0) & (y_t < h)
+        B = bilinear_sample(backward[t], jnp.clip(x_t, 0, w - 1),
+                            jnp.clip(y_t, 0, h - 1))
+        fb_err = jnp.linalg.norm(B + F, axis=-1)
+
+        visible = (inside1 & inside2 & (fb_err < fb_threshold)
+                   & (jet_err < occ_threshold))
+        occ_t = jnp.where(occ_prev == 1, 1, jnp.where(visible, 0, 1))
+        return occ_t, occ_t
+
+    occ0 = jnp.zeros(px.shape, jnp.int32)
+    _, occ_seq = jax.lax.scan(step, occ0, jnp.arange(J))
+    # occ_seq: [J, ...] -> [..., J]; prepend frame-0 visibility
+    occ_seq = jnp.moveaxis(occ_seq, 0, -1)
+    return jnp.concatenate([occ0[..., None], occ_seq], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# energies (dense_tracking.cpp:176-365)
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class EnergyParams:
+    acc_jc: float = 1.0
+    acc_bc: float = 0.1
+    acc_gc: float = 1.0
+    acc_occ: float = 500.0
+    acc_cv: float = 0.0
+    acc_temporal_occ: float = 10.0
+    skip_pixel: int = 1
+
+
+def add_jc(px, py, flows, occl, forward, pen: Penalty, p: EnergyParams):
+    """Jet-consistency + constant-velocity energy (addJC,
+    dense_tracking.cpp:176-233). flows [..., J, 2]; returns [...]."""
+    J = flows.shape[-2]
+    h, w = forward.shape[1:3]
+
+    def step(carry, t):
+        jenergy, cv, contrib = carry
+        u_j = flows[..., t, :]
+        prev = jnp.where(t > 0, flows[..., jnp.maximum(t - 1, 0), :], 0.0)
+        nxt = jnp.where(t + 1 < J, flows[..., jnp.minimum(t + 1, J - 1), :], 0.0)
+
+        x = px + prev[..., 0]
+        y = py + prev[..., 1]
+        inside = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        F = bilinear_sample(forward[t], jnp.clip(x, 0, w - 1),
+                            jnp.clip(y, 0, h - 1))
+        res = ((u_j - prev - F) ** 2).sum(-1)
+        vis = (occl[..., t] == 0) & (occl[..., t + 1] == 0)
+        use = inside & vis & (jnp.abs(u_j).max(-1) < UNKNOWN / 10)
+        jenergy = jenergy + jnp.where(use, 0.5 * pen.apply(res), 0.0)
+        contrib = contrib + jnp.where(inside, 1.0, 0.0)
+
+        cv_term = jnp.linalg.norm(2 * u_j - prev - nxt, axis=-1)
+        cv = cv + jnp.where(jnp.abs(u_j).max(-1) < UNKNOWN / 10, cv_term, 0.0)
+        return (jenergy, cv, contrib), None
+
+    zero = jnp.zeros(px.shape, jnp.float32)
+    (jenergy, cv, contrib), _ = jax.lax.scan(
+        step, (zero, zero, zero), jnp.arange(J))
+    jenergy = jnp.where(contrib > 0, jenergy / jnp.maximum(contrib, 1), jenergy)
+    return p.acc_jc * jenergy + p.acc_cv * cv
+
+
+def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams):
+    """Pairwise all-frames brightness/gradient constancy (addBCGC,
+    dense_tracking.cpp:240-349) — the hot energy term.
+
+    For each pixel in a (2r+1)^2 window around p, sample image + gradients at
+    the trajectory positions in all J+1 frames and sum |I_i - I_j| over all
+    visible frame pairs. Vectorized over hypotheses, window offsets and frame
+    pairs in one dispatch (the TPU replacement for the reference's quadruple
+    loop).
+
+    data/data_dx/data_dy: [J+1, H, W, 3]; flows [..., J, 2].
+    """
+    Jp1 = data.shape[0]
+    h, w = data.shape[1:3]
+    r = int(0.5 * (p.skip_pixel + 1))
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    ox, oy = jnp.meshgrid(offs, offs, indexing="xy")
+    ox = ox.ravel()  # [Wd]
+    oy = oy.ravel()
+    Wd = ox.shape[0]
+
+    # trajectory displacement per frame: frame 0 -> zero, frame j -> flow[j-1]
+    disp = jnp.concatenate(
+        [jnp.zeros(flows.shape[:-2] + (1, 2), flows.dtype), flows], axis=-2)
+
+    # positions: [..., Wd, J+1, 2]
+    base_x = (px[..., None] + ox)[..., :, None]
+    base_y = (py[..., None] + oy)[..., :, None]
+    x = base_x + disp[..., None, :, 0]
+    y = base_y + disp[..., None, :, 1]
+    inside = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+    center_inside = (base_x >= 0) & (base_x < w) & (base_y >= 0) & (base_y < h)
+    inside = inside & center_inside
+
+    def sample_frame(t, carry):
+        I, Ix, Iy = carry
+        xc = jnp.clip(x[..., t], 0, w - 1)
+        yc = jnp.clip(y[..., t], 0, h - 1)
+        I = I.at[..., t, :].set(bilinear_sample(data[t], xc, yc))
+        Ix = Ix.at[..., t, :].set(bilinear_sample(data_dx[t], xc, yc))
+        Iy = Iy.at[..., t, :].set(bilinear_sample(data_dy[t], xc, yc))
+        return I, Ix, Iy
+
+    shape = x.shape + (3,)
+    I = jnp.zeros(shape, jnp.float32)
+    Ix = jnp.zeros(shape, jnp.float32)
+    Iy = jnp.zeros(shape, jnp.float32)
+    I, Ix, Iy = jax.lax.fori_loop(0, Jp1, sample_frame, (I, Ix, Iy))
+
+    # visible = inside and not occluded; pair weight = vis_i * vis_j
+    vis = inside & (occl[..., None, :Jp1] == 0)          # [..., Wd, J+1]
+    pair_w = (vis[..., :, None] & vis[..., None, :]).astype(jnp.float32)
+    triu = jnp.triu(jnp.ones((Jp1, Jp1), jnp.float32), k=1)
+    pair_w = pair_w * triu
+
+    dI = jnp.abs(I[..., :, None, :] - I[..., None, :, :]).sum(-1)
+    dG = (jnp.abs(Ix[..., :, None, :] - Ix[..., None, :, :]).sum(-1)
+          + jnp.abs(Iy[..., :, None, :] - Iy[..., None, :, :]).sum(-1))
+    e_pair = (p.acc_bc * 0.3334 * dI + p.acc_gc * 0.3334 * dG) * pair_w
+    contrib = pair_w.sum((-1, -2))
+    e_p = e_pair.sum((-1, -2)) / jnp.maximum(contrib, 1.0)
+    neighs = center_inside[..., 0].astype(jnp.float32).sum(-1)
+    return e_p.sum(-1) / jnp.maximum(neighs, 1.0)
+
+
+def add_oc(occl, p: EnergyParams):
+    """Occlusion count + temporal-change penalty (addOC,
+    dense_tracking.cpp:351-365). occl [..., J+1]."""
+    occ = occl.astype(jnp.float32)
+    count = occ.sum(-1)
+    change = jnp.abs(occ[..., 1:] - occ[..., :-1]).sum(-1)
+    return p.acc_occ * count + p.acc_temporal_occ * change
+
+
+@partial(jax.jit, static_argnames=("pen", "p"))
+def hypothesis_energy(px, py, flows, occl, forward, data, data_dx, data_dy,
+                      pen: Penalty, p: EnergyParams):
+    """Full unary energy of a hypothesis (without the jet-estimation weight)."""
+    return (add_jc(px, py, flows, occl, forward, pen, p)
+            + add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p)
+            + add_oc(occl, p))
+
+
+# --------------------------------------------------------------------------
+# trajectory distances (hypothesis.cpp:223-285)
+# --------------------------------------------------------------------------
+ADJ, ACC, FINAL = 0, 1, 2
+
+
+def trajectory_distance(fa, fb, method: int):
+    """Distance between accumulated-flow trajectories.
+
+    fa/fb: [..., J, 2] broadcastable. ACC: mean over frames of ||diff||/l;
+    ADJ: mean ||adjacent-flow diff||; FINAL: ||final-flow diff||.
+    """
+    J = fa.shape[-2]
+    known = (jnp.abs(fa).max((-1, -2)) < UNKNOWN / 10) & \
+            (jnp.abs(fb).max((-1, -2)) < UNKNOWN / 10)
+    if method == FINAL:
+        d = jnp.linalg.norm(fa[..., -1, :] - fb[..., -1, :], axis=-1)
+    elif method == ACC:
+        l = jnp.arange(1, J + 1, dtype=jnp.float32)
+        d = (jnp.linalg.norm(fa - fb, axis=-1) / l).sum(-1)
+    else:  # ADJ
+        da = jnp.diff(jnp.concatenate(
+            [jnp.zeros_like(fa[..., :1, :]), fa], axis=-2), axis=-2)
+        db = jnp.diff(jnp.concatenate(
+            [jnp.zeros_like(fb[..., :1, :]), fb], axis=-2), axis=-2)
+        d = jnp.linalg.norm(da - db, axis=-1).mean(-1)
+    return jnp.where(known, d, 1e6)

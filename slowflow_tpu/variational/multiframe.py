@@ -618,8 +618,58 @@ def variational_mt(wx, wy, seq, p: MultiFrameParams,
 
 
 def _rescale_flow(wx, wy, nh, nw):
-    fh = nh / wx.shape[0]
-    fw = nw / wx.shape[1]
+    fh = nh / wx.shape[-2]
+    fw = nw / wx.shape[-1]
     wx = resize_bilinear(wx, nh, nw) * fw
     wy = resize_bilinear(wy, nh, nw) * fh
     return wx, wy
+
+
+def variational_mt_batched(wx, wy, seq, p: MultiFrameParams,
+                           channel_w=None, norm_avg=None, norm_std=None):
+    """Jet-parallel multi-frame minimization: vmap over a batch of windows.
+
+    This is the TPU replacement for the reference's OpenMP-over-jets loop
+    (slow_flow.cpp:706): many frame pairs are minimized per chip in one
+    dispatch; the batch axis can additionally be sharded across chips (pure
+    data parallelism — no cross-jet communication exists).
+
+    wx/wy: [B, H, W]; seq: [B, 2*ref+1, 3, H, W].
+    Returns (wx, wy, occlusions) with leading batch dim.
+    """
+    seq = jnp.asarray(seq, jnp.float32)
+    wx = jnp.asarray(wx, jnp.float32)
+    wy = jnp.asarray(wy, jnp.float32)
+    b, f, c, h, w = seq.shape
+    assert f == 2 * p.ref + 1, (f, p.ref)
+    if channel_w is None:
+        channel_w = jnp.ones((b, 3, h, w), jnp.float32)
+    if norm_avg is None:
+        norm_avg = jnp.zeros((b, 3), jnp.float32)
+    if norm_std is None:
+        norm_std = jnp.ones((b, 3), jnp.float32)
+
+    sizes = pyramid_sizes(h, w, p.layers, p.p_scale)
+    pyr = build_pyramid(seq, sizes, p.p_scale, sigma0=p.sigma)
+    cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
+        if p.layers > 1 else [channel_w]
+
+    level_fn = jax.jit(
+        jax.vmap(partial(compute_one_level, p=p)),
+        static_argnames=())
+
+    L = len(sizes)
+    if L > 1:
+        lh, lw = sizes[-1]
+        wx, wy = _rescale_flow(wx, wy, lh, lw)
+
+    occ = None
+    for level in range(L - 1, -1, -1):
+        if level < L - 1:
+            lh, lw = sizes[level]
+            wx, wy = _rescale_flow(wx, wy, lh, lw)
+        wx, wy, occ = level_fn(
+            wx, wy, pyr[level],
+            cw_pyr[level] if p.layers > 1 else channel_w,
+            norm_avg, norm_std)
+    return wx, wy, occ
