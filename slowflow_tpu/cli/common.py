@@ -35,23 +35,34 @@ def frame_path(sequence_path: str, fmt: str, start: int, offset: int,
     return os.path.join(sequence_path, fmt % (sf, hf))
 
 
-def gaussian_resize(img: np.ndarray, scale: float) -> np.ndarray:
-    """Blur (sigma = 1/sqrt(2*scale)) then bilinear resize — the reference's
-    anti-aliased downscale (slow_flow.cpp:538-542). img is [H, W, C] or [H, W]."""
-    import jax.numpy as jnp
+def _blur_resize(arr, sigma: float, nh: int, nw: int):
+    import jax
+    from functools import partial
 
     from ..core.conv import gaussian_blur
     from ..core.image import resize_bilinear
+
+    @partial(jax.jit, static_argnames=("sigma", "nh", "nw"))
+    def go(arr, sigma, nh, nw):
+        return resize_bilinear(gaussian_blur(arr, sigma), nh, nw)
+
+    return go(arr, sigma, nh, nw)
+
+
+def gaussian_resize(img: np.ndarray, scale: float) -> np.ndarray:
+    """Blur (sigma = 1/sqrt(2*scale)) then bilinear resize — the reference's
+    anti-aliased downscale (slow_flow.cpp:538-542). img is [H, W, C] or [H, W].
+    One jitted dispatch (eager op chains pay per-op latency on tunneled
+    backends)."""
+    import jax.numpy as jnp
 
     if scale == 1:
         return img
     arr = jnp.asarray(np.moveaxis(img, -1, 0) if img.ndim == 3 else img[None],
                       jnp.float32)
-    arr = gaussian_blur(arr, 1.0 / math.sqrt(2 * scale))
     nh = int(round(arr.shape[-2] * scale))
     nw = int(round(arr.shape[-1] * scale))
-    arr = resize_bilinear(arr, nh, nw)
-    out = np.asarray(arr)
+    out = np.asarray(_blur_resize(arr, 1.0 / math.sqrt(2 * scale), nh, nw))
     return np.moveaxis(out, 0, -1) if img.ndim == 3 else out[0]
 
 

@@ -45,12 +45,23 @@ DERIV_3PT = full_coeffs([0.0, -0.5], even=False)
 
 
 def _shift_clamped(x: jnp.ndarray, off: int, axis: int) -> jnp.ndarray:
-    """x shifted so out[i] = x[clamp(i + off)] along `axis` (edge replicate)."""
+    """x shifted so out[i] = x[clamp(i + off)] along `axis` (edge replicate).
+
+    Implemented as slice + edge pad (pure data movement) — gathers with index
+    vectors lower to scalar loops on TPU, pad/slice stays vectorized.
+    """
     if off == 0:
         return x
-    n = x.shape[axis]
-    idx = np.clip(np.arange(n) + off, 0, n - 1)
-    return jnp.take(x, jnp.asarray(idx), axis=axis)
+    axis = axis % x.ndim
+    pads = [(0, 0)] * x.ndim
+    idx = [slice(None)] * x.ndim
+    if off > 0:
+        idx[axis] = slice(off, None)
+        pads[axis] = (0, off)
+    else:
+        idx[axis] = slice(None, off)
+        pads[axis] = (-off, 0)
+    return jnp.pad(x[tuple(idx)], pads, mode="edge")
 
 
 def _conv_axis(x: jnp.ndarray, coeffs, axis: int) -> jnp.ndarray:

@@ -7,6 +7,7 @@ but without stride padding — XLA owns the memory layout.
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ import numpy as np
 from .conv import DERIV_3PT, conv_sep, conv_horiz, conv_vert, gaussian_kernel
 
 
+@jax.jit
 def rgb_to_lab(im: jnp.ndarray) -> jnp.ndarray:
     """RGB [3, H, W] in 0..255 -> attenuated L*a*b* (image.c:694-726).
 
@@ -44,6 +46,7 @@ def luminance(im: jnp.ndarray, scale: float = 255.0) -> jnp.ndarray:
     return (0.299 * im[0] + 0.587 * im[1] + 0.114 * im[2]) / scale
 
 
+@partial(jax.jit, static_argnames=("sigma_image", "sigma_matrix"))
 def saliency(im: jnp.ndarray, sigma_image: float = 0.8,
              sigma_matrix: float = 1.0) -> jnp.ndarray:
     """Min-eigenvalue-of-structure-tensor saliency (image.c:729-790)."""

@@ -4,10 +4,32 @@ Matches `Variational_AUX_MT::image_warp` (variational_aux_mt.cpp:722-756):
 sample src at (x + factor*wx, y + factor*wy) with bilinear weights; sample
 coordinates are clamped per-corner (RECTIFY); the mask is 1 iff the continuous
 coordinate lies inside [0, W-1] x [0, H-1].
+
+TPU formulation: XLA gathers lower to near-scalar loops on TPU, so the
+4-corner gather is re-expressed as two one-hot contractions on the MXU (the
+standard TPU lookup trick):
+
+    C[c, y', i, j] = sum_x' src[c, y', x'] * Ox[x', i, j]     (matmul, MXU)
+    out[c, i, j]   = sum_y' Oy[y', i, j] * C[c, y', i, j]     (fused reduce)
+
+with Ox carrying the (1-dx)/dx weights at the clamped x0/x1 columns and Oy
+the dy weights at y0/y1 — exactly the 4-corner bilinear formula. The output
+rows are processed in chunks (lax.map) to bound the one-hot intermediates.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_CHUNK = 16  # output rows per one-hot block
+
+
+def _coords(wx, wy, factor, h, w):
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=wx.dtype),
+                          jnp.arange(w, dtype=wx.dtype), indexing="ij")
+    x = xx + factor * wx
+    y = yy + factor * wy
+    return x, y
 
 
 def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
@@ -18,28 +40,51 @@ def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     or None when with_mask is False.
     """
     h, w = src.shape[-2], src.shape[-1]
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=wx.dtype),
-                          jnp.arange(w, dtype=wx.dtype), indexing="ij")
-    x = xx + factor * wx
-    y = yy + factor * wy
+    x, y = _coords(wx, wy, factor, h, w)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     dx = x - x0
     dy = y - y0
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
 
-    x1c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x2c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y1c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y2c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    lead = src.shape[:-2]
+    src2 = src.reshape((-1, h, w))                  # [C, H, W]
 
-    def gather(iy, ix):
-        return src[..., iy, ix]
+    pad_rows = (-h) % _CHUNK
+    def padrows(a):
+        return jnp.pad(a, ((0, pad_rows), (0, 0)))
 
-    out = (gather(y1c, x1c) * (1 - dx) * (1 - dy)
-           + gather(y1c, x2c) * dx * (1 - dy)
-           + gather(y2c, x1c) * (1 - dx) * dy
-           + gather(y2c, x2c) * dx * dy)
+    iota_x = jnp.arange(w, dtype=jnp.int32)
+    iota_y = jnp.arange(h, dtype=jnp.int32)
+
+    def chunk_fn(args):
+        x0c, x1c, dxc, y0c, y1c, dyc = args       # each [R, W]
+        # Ox [W_src, R, W]; two weighted one-hot columns per output pixel
+        ox = ((iota_x[:, None, None] == x0c[None]) * (1.0 - dxc)[None]
+              + (iota_x[:, None, None] == x1c[None]) * dxc[None]
+              ).astype(src2.dtype)
+        r = x0c.shape[0]
+        # C [C, H_src, R*W] = src2 [C, H_src, W_src] @ Ox [W_src, R*W]
+        c_mat = jax.lax.dot_general(
+            src2, ox.reshape(w, r * w),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(-1, h, r, w)
+        oy = ((iota_y[:, None, None] == y0c[None]) * (1.0 - dyc)[None]
+              + (iota_y[:, None, None] == y1c[None]) * dyc[None]
+              ).astype(src2.dtype)
+        return (oy[None] * c_mat).sum(1)           # [C, R, W]
+
+    n_chunks = (h + pad_rows) // _CHUNK
+    args = tuple(padrows(a).reshape(n_chunks, _CHUNK, w)
+                 for a in (x0c, x1c, dx, y0c, y1c, dy))
+    out = jax.lax.map(chunk_fn, args)              # [n_chunks, C, R, W]
+    out = jnp.moveaxis(out, 1, 0).reshape((-1, h + pad_rows, w))[:, :h]
+    out = out.reshape(lead + (h, w))
 
     if not with_mask:
         return out, None

@@ -60,6 +60,31 @@ def _shift2(x, dy, dx):
     return jax.lax.dynamic_slice(big, (h + dy, w + dx), (h, w))
 
 
+@partial(jax.jit, static_argnames=("radius", "patch_r"))
+def _grid_match_core(im1, im2, ys, xs, radius: int, patch_r: int):
+    """Forward match + backward check in one compiled dispatch."""
+    g1 = (0.299 * im1[0] + 0.587 * im1[1] + 0.114 * im1[2]) / 255.0
+    g2 = (0.299 * im2[0] + 0.587 * im2[1] + 0.114 * im2[2]) / 255.0
+    h, w = g1.shape
+    d = 2 * radius + 1
+
+    costs_f = _match_costs(g1, g2, ys, xs, radius, patch_r)
+    kf = jnp.argmin(costs_f.reshape(-1, d * d), axis=1)
+    dyf = kf // d - radius
+    dxf = kf % d - radius
+
+    x2 = jnp.clip(xs + dxf, 0, w - 1)
+    y2 = jnp.clip(ys + dyf, 0, h - 1)
+    costs_b = _match_costs(g2, g1, y2, x2, radius, patch_r)
+    kb = jnp.argmin(costs_b.reshape(-1, d * d), axis=1)
+    dyb = kb // d - radius
+    dxb = kb % d - radius
+
+    fb_err = jnp.hypot((dxf + dxb).astype(jnp.float32),
+                       (dyf + dyb).astype(jnp.float32))
+    return dxf, dyf, fb_err
+
+
 def grid_matches(im1: np.ndarray, im2: np.ndarray, step: int = 8,
                  radius: int = 32, patch_r: int = 4,
                  fb_threshold: float = 2.0) -> np.ndarray:
@@ -69,30 +94,14 @@ def grid_matches(im1: np.ndarray, im2: np.ndarray, step: int = 8,
     """
     im1 = jnp.asarray(im1, jnp.float32)
     im2 = jnp.asarray(im2, jnp.float32)
-    g1 = (0.299 * im1[0] + 0.587 * im1[1] + 0.114 * im1[2]) / 255.0
-    g2 = (0.299 * im2[0] + 0.587 * im2[1] + 0.114 * im2[2]) / 255.0
-    h, w = g1.shape
+    h, w = im1.shape[1:]
     ys_np, xs_np = np.mgrid[step // 2:h:step, step // 2:w:step]
     ys = jnp.asarray(ys_np.ravel())
     xs = jnp.asarray(xs_np.ravel())
 
-    costs_f = _match_costs(g1, g2, ys, xs, radius, patch_r)
-    d = 2 * radius + 1
-    kf = jnp.argmin(costs_f.reshape(-1, d * d), axis=1)
-    dyf = kf // d - radius
-    dxf = kf % d - radius
-
-    # backward check: match the landing points of im2 back into im1
-    x2 = jnp.clip(xs + dxf, 0, w - 1)
-    y2 = jnp.clip(ys + dyf, 0, h - 1)
-    costs_b = _match_costs(g2, g1, y2, x2, radius, patch_r)
-    kb = jnp.argmin(costs_b.reshape(-1, d * d), axis=1)
-    dyb = kb // d - radius
-    dxb = kb % d - radius
-
-    fb_err = np.hypot(np.asarray(dxf + dxb), np.asarray(dyf + dyb))
-    keep = fb_err <= fb_threshold
-
-    out = np.stack([np.asarray(xs), np.asarray(ys),
-                    np.asarray(xs + dxf), np.asarray(ys + dyf)], 1)
+    dxf, dyf, fb_err = _grid_match_core(im1, im2, ys, xs, radius, patch_r)
+    keep = np.asarray(fb_err) <= fb_threshold
+    out = np.stack([xs_np.ravel(), ys_np.ravel(),
+                    xs_np.ravel() + np.asarray(dxf),
+                    ys_np.ravel() + np.asarray(dyf)], 1)
     return out[keep].astype(np.float32)

@@ -570,9 +570,6 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     return wx, wy, occ
 
 
-_compute_one_level_jit = partial(jax.jit, static_argnames=("p",))(compute_one_level)
-
-
 # --------------------------------------------------------------------------
 # full coarse-to-fine driver
 # --------------------------------------------------------------------------
@@ -596,10 +593,34 @@ def variational_mt(wx, wy, seq, p: MultiFrameParams,
     if norm_std is None:
         norm_std = jnp.ones(3, jnp.float32)
 
+    out = _mt_pipeline_batched(wx[None], wy[None], seq[None],
+                               channel_w[None], norm_avg[None],
+                               norm_std[None], p=p)
+    return tuple(o[0] for o in out)
+
+
+def _rescale_flow(wx, wy, nh, nw):
+    fh = nh / wx.shape[-2]
+    fw = nw / wx.shape[-1]
+    wx = resize_bilinear(wx, nh, nw) * fw
+    wy = resize_bilinear(wy, nh, nw) * fh
+    return wx, wy
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
+                         p: MultiFrameParams):
+    """Whole coarse-to-fine batched solve as ONE compiled program: pyramid
+    construction, per-level alternating minimization, and flow upscaling all
+    fuse into a single dispatch (eager op-by-op execution pays per-op
+    host-device round-trips on tunneled backends)."""
+    b, f, c, h, w = seq.shape
     sizes = pyramid_sizes(h, w, p.layers, p.p_scale)
     pyr = build_pyramid(seq, sizes, p.p_scale, sigma0=p.sigma)
     cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
         if p.layers > 1 else [channel_w]
+
+    level_fn = jax.vmap(partial(compute_one_level, p=p))
 
     L = len(sizes)
     if L > 1:
@@ -611,18 +632,11 @@ def variational_mt(wx, wy, seq, p: MultiFrameParams,
         if level < L - 1:
             lh, lw = sizes[level]
             wx, wy = _rescale_flow(wx, wy, lh, lw)
-        wx, wy, occ = _compute_one_level_jit(
-            wx, wy, pyr[level], cw_pyr[level] if p.layers > 1 else channel_w,
-            norm_avg, norm_std, p=p)
+        wx, wy, occ = level_fn(
+            wx, wy, pyr[level],
+            cw_pyr[level] if p.layers > 1 else channel_w,
+            norm_avg, norm_std)
     return wx, wy, occ
-
-
-def _rescale_flow(wx, wy, nh, nw):
-    fh = nh / wx.shape[-2]
-    fw = nw / wx.shape[-1]
-    wx = resize_bilinear(wx, nh, nw) * fw
-    wy = resize_bilinear(wy, nh, nw) * fh
-    return wx, wy
 
 
 def variational_mt_batched(wx, wy, seq, p: MultiFrameParams,
@@ -648,28 +662,5 @@ def variational_mt_batched(wx, wy, seq, p: MultiFrameParams,
         norm_avg = jnp.zeros((b, 3), jnp.float32)
     if norm_std is None:
         norm_std = jnp.ones((b, 3), jnp.float32)
-
-    sizes = pyramid_sizes(h, w, p.layers, p.p_scale)
-    pyr = build_pyramid(seq, sizes, p.p_scale, sigma0=p.sigma)
-    cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
-        if p.layers > 1 else [channel_w]
-
-    level_fn = jax.jit(
-        jax.vmap(partial(compute_one_level, p=p)),
-        static_argnames=())
-
-    L = len(sizes)
-    if L > 1:
-        lh, lw = sizes[-1]
-        wx, wy = _rescale_flow(wx, wy, lh, lw)
-
-    occ = None
-    for level in range(L - 1, -1, -1):
-        if level < L - 1:
-            lh, lw = sizes[level]
-            wx, wy = _rescale_flow(wx, wy, lh, lw)
-        wx, wy, occ = level_fn(
-            wx, wy, pyr[level],
-            cw_pyr[level] if p.layers > 1 else channel_w,
-            norm_avg, norm_std)
-    return wx, wy, occ
+    return _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
+                                p=p)

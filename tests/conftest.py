@@ -6,7 +6,11 @@ __graft_entry__.dryrun_multichip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual CPU mesh even when the environment pre-selects a TPU
+# platform (the axon sitecustomize registers a tunneled TPU backend driven by
+# PALLAS_AXON_POOL_IPS; tests must not depend on it).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
