@@ -262,6 +262,29 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
         channel_w = raw_weighting(h, w, red_loc[0], red_loc[1],
                                   cfg.parameter("raw_weight", "1.0", float))
 
+    # ------------------------------------------------- ground truth (gt/)
+    # file_gt .flo fields are rescaled and snapshotted for later comparison
+    # (slow_flow.cpp:604-670); EPE against them lands in results.info.
+    gt = {}
+    if cfg.file_gt:
+        os.makedirs(cfg.output + "gt/", exist_ok=True)
+        from ..io import read_flo as _read_flo
+        from ..core.image import resize_bilinear as _resize
+        import jax.numpy as _jnp
+        for j in range(start_j, end_j):
+            path = frame_path("", cfg.file_gt, start, j * steps, sintel)
+            if not os.path.exists(path):
+                continue
+            g = _read_flo(path)
+            if scale != 1:
+                nh, nw = int(g.shape[0] * scale), int(g.shape[1] * scale)
+                g = np.moveaxis(np.asarray(_resize(
+                    _jnp.asarray(np.moveaxis(g, -1, 0)), nh, nw)), 0, -1) * scale
+            gt[j] = g
+            write_flo(cfg.output + f"gt/flow_{cfg.sequence_start + j * steps:05d}.flo", g)
+            write_image(cfg.output + f"gt/flow_{cfg.sequence_start + j * steps:05d}.png",
+                        flow_color_img(g[..., 0], g[..., 1]))
+
     # 8-bit copies for EPIC init before normalization
     norm16 = cfg.parameter("16bit", "0", bool)
     seq8 = {f: (img / 256.0 if norm16 else img) for f, img in seq.items()}
@@ -371,6 +394,10 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             for k, j in enumerate(group):
                 out_file = output_name(j, backward)
                 write_flo(out_file, np.stack([wx[k], wy[k]], -1))
+                if not backward and j in gt:
+                    from ..utils.metrics import compute_epe
+                    epe = compute_epe(np.stack([wx[k], wy[k]], -1), gt[j])
+                    results.append(f"# jet {j} EPE vs gt: {epe:.4f}\n")
                 if not backward:
                     # occlusion map + visualization (forward pass only,
                     # slow_flow.cpp:891-925)

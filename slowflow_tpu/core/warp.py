@@ -95,3 +95,20 @@ def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
 def warp_image(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):
     """Two-frame variant (variational_aux.c:18-52): factor fixed to 1."""
     return warp_bilinear(src, wx, wy, factor=1.0, with_mask=True)
+
+
+def warp_backward(img: jnp.ndarray, flow: jnp.ndarray, scale: float = 1.0):
+    """Backward warping (utils/utils.cpp:286-306): sample `img` at
+    (x - scale*u, y - scale*v); unknown-flow pixels produce zeros.
+
+    img [..., H, W]; flow [H, W, 2]. Returns the warped image.
+    """
+    from ..io.flo import UNKNOWN_FLOW_THRESH
+
+    u = flow[..., 0]
+    v = flow[..., 1]
+    known = (jnp.abs(u) <= UNKNOWN_FLOW_THRESH) & \
+        (jnp.abs(v) <= UNKNOWN_FLOW_THRESH)
+    out, mask = warp_bilinear(img, jnp.where(known, -scale * u, 0.0),
+                              jnp.where(known, -scale * v, 0.0))
+    return out * jnp.where(known, mask, 0.0)

@@ -244,6 +244,69 @@ def accumulate_batches(forward, backward, mask, S: int, skip_pixel: int = 0):
     return accf, accb[::-1]
 
 
+def forward_backward_consistency(forward, backward, S: int, epsilon: float,
+                                 jetwise: bool = False, skip_pixel: int = 0):
+    """Keyframe-stride FB-consistency (forwardBackwardConsistency,
+    utils.cpp:619-722): accumulate forward/backward flow over batches of
+    `steps = S-1` jets on the subsampled grid, then compare round trips.
+
+    Returns (mask [h, w] float, flow_diff [h, w]) with the reference's
+    convention: mask 1 = consistent, 0 = inconsistent.
+    """
+    forward = jnp.asarray(forward, jnp.float32)
+    backward = jnp.asarray(backward, jnp.float32)
+    J, oh, ow = forward.shape[:3]
+    steps = S - 1
+    J = J - (J % steps)
+    xy_incr = skip_pixel + 1
+    xy_start = int(0.5 * skip_pixel)
+    h = int(np.floor(oh / xy_incr))
+    w = int(np.floor(ow / xy_incr))
+    gx, gy = _grid(h, w, xy_incr, xy_start)
+
+    if jetwise:
+        def step(carry, inp):
+            mask, diff = carry
+            fwd, bwd = inp
+            fg = fwd[gy.astype(jnp.int32), gx.astype(jnp.int32)]
+            cx = (gx + steps * fg[..., 0]) / xy_incr
+            cy = (gy + steps * fg[..., 1]) / xy_incr
+            inside = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+            bwd_s = bwd[gy.astype(jnp.int32), gx.astype(jnp.int32)]
+            d = fg + jnp.where(inside[..., None],
+                               bilinear_sample(bwd, cx * xy_incr + xy_start,
+                                               cy * xy_incr + xy_start), 0.0)
+            err = jnp.linalg.norm(d, axis=-1)
+            mask = jnp.where(err > epsilon, 0.0, mask)
+            return (mask, err), None
+
+        (mask, diff), _ = jax.lax.scan(
+            step, (jnp.ones((h, w)), jnp.zeros((h, w))),
+            (forward[:J:steps], backward[:J:steps]))
+        return mask, diff
+
+    def acc_step(acc, fwd):
+        cx = gx + acc[..., 0]
+        cy = gy + acc[..., 1]
+        inside = ((cx >= 0) & (cx < ow) & (cy >= 0) & (cy < oh))[..., None]
+        return acc + jnp.where(inside, bilinear_sample(fwd, cx, cy), 0.0), None
+
+    acc_f, _ = jax.lax.scan(acc_step, jnp.zeros((h, w, 2)),
+                            forward[steps - 1:J:steps])
+    acc_b, _ = jax.lax.scan(acc_step, jnp.zeros((h, w, 2)),
+                            backward[J - steps::-steps]
+                            if steps > 0 else backward[::-1])
+    cx = (gx + acc_f[..., 0]) / xy_incr
+    cy = (gy + acc_f[..., 1]) / xy_incr
+    inside = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    bvec = bilinear_sample(acc_b, jnp.clip(cx, 0, w - 1),
+                           jnp.clip(cy, 0, h - 1))
+    diff = jnp.linalg.norm(acc_f + bvec, axis=-1)
+    diff = jnp.where(inside, diff, jnp.float32(2 ** 31 - 1))
+    mask = jnp.where(inside & (diff > epsilon), 0.0, 1.0)
+    return mask, diff
+
+
 def forward_backward_check(forward, backward, epsilon: float,
                            jetwise: bool = True):
     """FB-consistency mask (forwardBackwardCheck, utils.cpp:449-515).

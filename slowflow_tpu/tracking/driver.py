@@ -240,9 +240,14 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
 
         bank.insert(flows, occl, energy, r, fully)
 
-        # EPIC-interpolated hypotheses from the consistent matches
+        # EPIC-interpolated hypotheses from the consistent matches; isolated
+        # consistent speckles are removed first (dense_tracking.cpp:1265)
         if cfg.epic_interpolation and epic_ctx is not None:
-            epic_flows = _epic_hypotheses(acc, fully, cfg, epic_ctx)
+            from ..utils.segments import remove_small_segments
+
+            r_cons = fully.astype(np.int32)
+            remove_small_segments(r_cons, 0.1, 100)
+            epic_flows = _epic_hypotheses(acc, r_cons > 0, cfg, epic_ctx)
             if epic_flows is not None:
                 eflows = adapt_fps(epic_flows, cfg.jets)
                 eoccl = np.asarray(set_occlusions(

@@ -77,6 +77,59 @@ def adapt_fps(flows: np.ndarray, new_j: int) -> np.ndarray:
     return out
 
 
+def complete_hypothesis(flows: np.ndarray, start_f: int, end_f: int,
+                        px, py, approach: int = 0):
+    """Extrapolate a partial trajectory to the full jet range by linear
+    (approach 0) or quadratic (approach 1) least-squares fits over the
+    tracked prefix (hypothesis::new_complete, hypothesis.cpp:12-123; the
+    reference's GSL fits become closed-form polyfits).
+
+    flows [..., J, 2] accumulated flow valid on [start_f, end_f);
+    px/py broadcastable positions. Returns extrapolated flows [..., J, 2]
+    of the pure-polynomial trajectory (positions replaced like the
+    reference, which refits even the observed frames).
+    """
+    J = flows.shape[-2]
+    l = end_f - start_f + 1
+    deg = 1 if approach == 0 else 2
+    if l < deg + 1:
+        return None
+    # sample positions: t = start_f ... end_f (frame start_f = the anchor)
+    t = np.arange(start_f, end_f + 1, dtype=np.float64)
+    xs = np.concatenate([
+        np.broadcast_to(np.asarray(px, np.float64)[..., None],
+                        flows.shape[:-2] + (1,)),
+        np.asarray(px, np.float64)[..., None]
+        + flows[..., start_f:end_f, 0]], axis=-1)
+    ys = np.concatenate([
+        np.broadcast_to(np.asarray(py, np.float64)[..., None],
+                        flows.shape[:-2] + (1,)),
+        np.asarray(py, np.float64)[..., None]
+        + flows[..., start_f:end_f, 1]], axis=-1)
+
+    # Vandermonde least squares, batched over leading dims
+    V = np.stack([t ** k for k in range(deg + 1)], axis=-1)       # [l, deg+1]
+    pinv = np.linalg.pinv(V)                                      # [deg+1, l]
+    cx = np.einsum("kl,...l->...k", pinv, xs)
+    cy = np.einsum("kl,...l->...k", pinv, ys)
+
+    f = np.arange(1, J + 1, dtype=np.float64)
+    out = np.zeros(flows.shape[:-2] + (J, 2), np.float32)
+    out[..., 0] = cx[..., 1:2] * f + (cx[..., 2:3] * f * f if deg == 2 else 0.0)
+    out[..., 1] = cy[..., 1:2] * f + (cy[..., 2:3] * f * f if deg == 2 else 0.0)
+    return out
+
+
+def perturb_hypothesis(flows: np.ndarray, u_p: float, v_p: float):
+    """Sign-aligned, linearly scaled perturbation of a trajectory
+    (hypothesis::new_perturbed, hypothesis.cpp:126-149)."""
+    J = flows.shape[-2]
+    scale = (0.9 / J) * np.arange(J) + 0.1
+    du = np.where(flows[..., 0] > 0, scale * u_p, -scale * u_p)
+    dv = np.where(flows[..., 1] > 0, scale * v_p, -scale * v_p)
+    return np.stack([flows[..., 0] + du, flows[..., 1] + dv], axis=-1)
+
+
 # --------------------------------------------------------------------------
 # occlusion estimation per hypothesis
 # --------------------------------------------------------------------------

@@ -147,15 +147,19 @@ def get_derivatives_mt(seq, wx, wy, ref: int):
     [2*ref, 3, H, W], plus mask [2*ref, H, W].
     """
     n = 2 * ref
-    factors_a = jnp.arange(n, dtype=wx.dtype) - ref       # frame s offset
-    factors_b = factors_a + 1.0                           # frame s+1 offset
+    # Warp every window frame once: frame k moves by factor (k - ref). The
+    # reference warps frames s and s+1 independently per offset
+    # (variational_mt.cpp:97-110), but w_b[s] == w_a[s+1] — sharing halves
+    # the warp count (the dominant cost on TPU).
+    factors = jnp.arange(n + 1, dtype=wx.dtype) - ref
 
     def warp_one(img, f):
         out, mask = warp_bilinear(img, wx, wy, factor=f)
         return out, mask
 
-    w_a, m_a = jax.vmap(warp_one)(seq[:n], factors_a)     # warped frame s
-    w_b, m_b = jax.vmap(warp_one)(seq[1:n + 1], factors_b)  # warped frame s+1
+    warped, masks = jax.vmap(warp_one)(seq, factors)      # [2*ref+1, ...]
+    w_a, m_a = warped[:n], masks[:n]                      # frame s
+    w_b, m_b = warped[1:], masks[1:]                      # frame s+1
 
     s_idx = jnp.arange(n)
     past = (s_idx < ref)[:, None, None]
@@ -531,38 +535,48 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                          jnp.float32(jnp.inf)))
         return uu, vv
 
-    def outer_loop(wx, wy, occ):
+    def outer_loop(wx, wy, occ, derivs):
+        """Derivatives are computed once per *executed* iteration (the
+        alternation-top stacks serve iteration 0, matching the reference's
+        reuse at variational_mt.cpp:266,289-290)."""
+
         def cond(c):
-            wx, wy, it, change = c
+            wx, wy, derivs, it, change = c
             return (it < p.niter_outer) & (change >= p.thres_outer)
 
         def body(c):
-            wx, wy, it, _ = c
-            succ, to_ref, mask = get_derivatives_mt(seq, wx, wy, ref)
-            mask = gate_masks(mask, occ)
-            uu, vv = inner_loop(wx, wy, wx, wy, mask, succ, to_ref)
+            wx, wy, (succ, to_ref, mask), it, _ = c
+            gated = gate_masks(mask, occ)
+            uu, vv = inner_loop(wx, wy, wx, wy, gated, succ, to_ref)
             change = jnp.maximum(jnp.abs(uu - wx).sum(),
                                  jnp.abs(vv - wy).sum()) / hw
-            return uu, vv, it + jnp.int32(1), jnp.float32(change)
+            change = jnp.float32(change)
+            cont = (it + 1 < p.niter_outer) & (change >= p.thres_outer)
+            derivs = jax.lax.cond(
+                cont,
+                lambda a: get_derivatives_mt(seq, a[0], a[1], ref),
+                lambda a: a[2],
+                (uu, vv, (succ, to_ref, mask)))
+            return uu, vv, derivs, it + jnp.int32(1), change
 
-        wx, wy, _, _ = jax.lax.while_loop(
-            cond, body, (wx, wy, jnp.int32(0), jnp.float32(jnp.inf)))
+        wx, wy, _, _, _ = jax.lax.while_loop(
+            cond, body, (wx, wy, derivs, jnp.int32(0), jnp.float32(jnp.inf)))
         return wx, wy
 
     def alter_body(it, carry):
         wx, wy, occ = carry
+        derivs = get_derivatives_mt(seq, wx, wy, ref)
         if p.occlusion_reasoning and not p.one_direction:
             def occ_update(args):
-                wx, wy, occ = args
-                succ, to_ref, mask = get_derivatives_mt(seq, wx, wy, ref)
+                (succ, to_ref, mask), occ = args
                 e0, e1 = occlusion_data_costs(mask, succ, to_ref, p)
                 lab = solve_binary_potts(e0, e1, p.occlusion_alpha,
                                          p.niter_graphc)
                 return 2.0 * lab - 1.0
 
-            occ = jax.lax.cond(it > 0, occ_update, lambda a: a[2],
-                               (wx, wy, occ))
-        wx, wy = outer_loop(wx, wy, occ)
+            occ = jax.lax.cond(it > 0, occ_update, lambda a: a[1],
+                               (derivs, occ))
+        wx, wy = outer_loop(wx, wy, occ, derivs)
         return wx, wy, occ
 
     wx, wy, occ = jax.lax.fori_loop(0, p.niter_alter, alter_body,
