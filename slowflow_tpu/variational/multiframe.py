@@ -69,6 +69,7 @@ class MultiFrameParams:
     robust_reg: tuple = (1, 0.001, 0.5)
     one_direction: bool = False             # slow_flow_method == "forward"
     hbit: bool = False                      # 16-bit input
+    pallas_sor: bool = False                # fused VMEM-resident SOR kernel
 
     @property
     def ref(self) -> int:
@@ -522,9 +523,15 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                                                    channel_w, p)
             b1 = sub_laplacian(b1, uu, wh, wv)
             b2 = sub_laplacian(b2, vv, wh, wv)
-            ndu, ndv = sor_coupled_rb(du, dv, a11, a12, a22, b1, b2, wh, wv,
-                                      iterations=p.niter_solver,
-                                      omega=p.sor_omega)
+            if p.pallas_sor:
+                from ..core.solver_pallas import sor_coupled_rb_pallas
+                ndu, ndv = sor_coupled_rb_pallas(
+                    du, dv, a11, a12, a22, b1, b2, wh, wv,
+                    iterations=p.niter_solver, omega=p.sor_omega)
+            else:
+                ndu, ndv = sor_coupled_rb(
+                    du, dv, a11, a12, a22, b1, b2, wh, wv,
+                    iterations=p.niter_solver, omega=p.sor_omega)
             change = jnp.maximum(jnp.abs(ndu - du).sum(),
                                  jnp.abs(ndv - dv).sum()) / hw
             return (ndu, ndv, wx0 + ndu, wy0 + ndv, it + jnp.int32(1),

@@ -1,0 +1,68 @@
+"""The fused Pallas SOR must match the XLA red-black solver exactly.
+
+Runs in interpreter mode on CPU (the Mosaic TPU path is exercised by the
+benchmark); the two implementations share the half-sweep semantics, so they
+must agree bit-for-bit at every iteration count.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from slowflow_tpu.core.solver import sor_coupled_rb
+
+
+def _pallas_interpret(args, iterations):
+    """Invoke the kernel body through the same math in interpret mode."""
+    from functools import partial
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from slowflow_tpu.core import solver_pallas as sp
+
+    du, dv, a11, a12, a22, b1, b2, wh, wv = args
+    h, w = du.shape
+    wh = wh.at[:, -1].set(0.0)
+    wv = wv.at[-1, :].set(0.0)
+    w_n = jnp.pad(wv[:-1, :], ((1, 0), (0, 0)))
+    w_w = jnp.pad(wh[:, :-1], ((0, 0), (1, 0)))
+    sum_w = w_n + w_w + wv + wh
+    A11 = a11 + sum_w
+    A22 = a22 + sum_w
+    det = A11 * A22 - a12 * a12
+    det = jnp.where(det == 0, 1.0, det)
+    flat = [x.reshape(1, h, w) for x in
+            (du, dv, A22 / det, -a12 / det, A11 / det, b1, b2,
+             w_n, w_w, wv, wh)]
+    kernel = partial(sp._sor_kernel, iterations=iterations, omega=1.9)
+    spec = pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel, grid=(1,),
+        out_shape=(jax.ShapeDtypeStruct((1, h, w), du.dtype),) * 2,
+        in_specs=[spec] * 11, out_specs=(spec, spec),
+        interpret=True,
+    )(*flat)
+    return [o[0] for o in out]
+
+
+@pytest.mark.parametrize("iterations", [1, 7])
+def test_pallas_sor_matches_xla(rng, iterations):
+    h, w = 12, 16
+    args = [jnp.asarray(a) for a in (
+        np.zeros((h, w), np.float32), np.zeros((h, w), np.float32),
+        rng.random((h, w)).astype(np.float32) + 1,
+        (rng.random((h, w)).astype(np.float32) - 0.5) * 0.3,
+        rng.random((h, w)).astype(np.float32) + 1,
+        rng.normal(size=(h, w)).astype(np.float32),
+        rng.normal(size=(h, w)).astype(np.float32),
+        rng.random((h, w)).astype(np.float32) * 0.5,
+        rng.random((h, w)).astype(np.float32) * 0.5,
+    )]
+    got = _pallas_interpret(args, iterations)
+    want = sor_coupled_rb(*args, iterations=iterations, omega=1.9)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=1e-5)

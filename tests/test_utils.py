@@ -69,11 +69,14 @@ def test_demosaic_smooth_gradient():
 
 
 def test_raw_weighting_pattern():
-    wts = raw_weighting(4, 4, red_x=1, red_y=0, weight=1.0)
+    # weight=1.0 is the uniform default (0.5*(3-1) == 1.0 everywhere)
+    uniform = raw_weighting(4, 4, red_x=1, red_y=0, weight=1.0)
+    np.testing.assert_allclose(uniform, 1.0)
+    wts = raw_weighting(4, 4, red_x=1, red_y=0, weight=2.0)
     assert wts.shape == (3, 4, 4)
     np.testing.assert_allclose(wts.sum(0), 3.0)  # weights sum to 3
     # every pixel has exactly one channel with the sampled weight
-    assert ((wts == 1.0).sum(0) == 1).all()
+    assert ((wts == 2.0).sum(0) == 1).all()
 
 
 def test_metrics():
