@@ -21,7 +21,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_CHUNK = 16  # output rows per one-hot block
+_CHUNK = 16   # output rows per one-hot block
+_COLS = 128   # output columns per banded block
+_BAND = 32    # halo around a block's displacement window
 
 
 def _coords(wx, wy, factor, h, w):
@@ -33,13 +35,31 @@ def _coords(wx, wy, factor, h, w):
 
 
 def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
-                  factor: float = 1.0, with_mask: bool = True):
+                  factor: float = 1.0, with_mask: bool = True,
+                  banded: bool | None = None):
     """Warp `src` [..., H, W] by flow (wx, wy) [H, W] scaled by `factor`.
 
     Returns (warped, mask) — mask is float32 [H, W] (1 inside, 0 outside),
     or None when with_mask is False.
+
+    `banded` selects the windowed one-hot path (default: automatic for large
+    images): each output block contracts only against a source window that
+    follows the block's displacements, cutting the one-hot traffic by
+    ~(W/(T+2*BAND)); exact as long as the displacement *variation* within a
+    block stays under the 2*`_BAND` halo (smooth flow fields), with graceful
+    clamping at violations.
     """
     h, w = src.shape[-2], src.shape[-1]
+    if banded is None:
+        banded = (h > _CHUNK + 2 * _BAND + 16) and (w > _COLS + 2 * _BAND + 16)
+    if banded:
+        out = _warp_banded(src, wx, wy, factor)
+        if not with_mask:
+            return out, None
+        x, y = _coords(wx, wy, factor, h, w)
+        mask = ((x >= 0) & (x <= w - 1) & (y >= 0)
+                & (y <= h - 1)).astype(src.dtype)
+        return out, mask
     x, y = _coords(wx, wy, factor, h, w)
 
     x0 = jnp.floor(x)
@@ -90,6 +110,81 @@ def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
         return out, None
     mask = ((x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)).astype(src.dtype)
     return out, mask
+
+
+def _warp_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
+                 factor: float):
+    """Windowed one-hot warp: per (row, column) output block, dynamic-slice a
+    source window positioned at the block's minimum sample coordinate and
+    contract the bilinear one-hots only against it."""
+    h, w = src.shape[-2], src.shape[-1]
+    lead = src.shape[:-2]
+    src2 = src.reshape((-1, h, w))
+    c = src2.shape[0]
+
+    R, T, D = _CHUNK, _COLS, _BAND
+    wy_win = R + 2 * D
+    wx_win = T + 2 * D
+
+    x, y = _coords(wx, wy, factor, h, w)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    pad_r = (-h) % R
+    pad_c = (-w) % T
+    def pad2(a):
+        # edge-pad so a partially-padded block's coordinate min/max still
+        # reflect its real pixels (the pad region is sliced off at the end)
+        return jnp.pad(a, ((0, pad_r), (0, pad_c)), mode="edge")
+
+    hp, wp = h + pad_r, w + pad_c
+    n_r, n_c = hp // R, wp // T
+
+    def blocks(a):
+        return (pad2(a).reshape(n_r, R, n_c, T).transpose(0, 2, 1, 3)
+                .reshape(n_r * n_c, R, T))
+
+    args = tuple(blocks(a) for a in (x0c, x1c, dx, y0c, y1c, dy))
+    iota_wx = jnp.arange(wx_win, dtype=jnp.int32)
+    iota_wy = jnp.arange(wy_win, dtype=jnp.int32)
+
+    def block_fn(a):
+        bx0, bx1, bdx, by0, by1, bdy = a
+        off_x = jnp.clip(bx0.min() - D, 0, max(w - wx_win, 0))
+        off_y = jnp.clip(by0.min() - D, 0, max(h - wy_win, 0))
+        win = jax.lax.dynamic_slice(
+            src2, (0, off_y, off_x),
+            (c, min(wy_win, h), min(wx_win, w)))
+        lx0 = jnp.clip(bx0 - off_x, 0, win.shape[2] - 1)
+        lx1 = jnp.clip(bx1 - off_x, 0, win.shape[2] - 1)
+        ly0 = jnp.clip(by0 - off_y, 0, win.shape[1] - 1)
+        ly1 = jnp.clip(by1 - off_y, 0, win.shape[1] - 1)
+
+        ox = ((iota_wx[: win.shape[2], None, None] == lx0[None])
+              * (1.0 - bdx)[None]
+              + (iota_wx[: win.shape[2], None, None] == lx1[None])
+              * bdx[None]).astype(src2.dtype)
+        c_mat = jax.lax.dot_general(
+            win, ox.reshape(win.shape[2], R * T),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).reshape(c, win.shape[1], R, T)
+        oy = ((iota_wy[: win.shape[1], None, None] == ly0[None])
+              * (1.0 - bdy)[None]
+              + (iota_wy[: win.shape[1], None, None] == ly1[None])
+              * bdy[None]).astype(src2.dtype)
+        return (oy[None] * c_mat).sum(1)          # [C, R, T]
+
+    out = jax.lax.map(block_fn, args)             # [n_r*n_c, C, R, T]
+    out = (out.reshape(n_r, n_c, c, R, T).transpose(2, 0, 3, 1, 4)
+           .reshape(c, hp, wp)[:, :h, :w])
+    return out.reshape(lead + (h, w))
 
 
 def warp_image(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray):

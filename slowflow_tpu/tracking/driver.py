@@ -122,6 +122,15 @@ class TrackingConfig:
             skip_pixel=self.skip_pixel)
 
 
+def jnp_occ(occlusions):
+    """Jet occlusion maps -> jnp array or None (acc_occlusion gate)."""
+    import jax.numpy as jnp
+
+    if occlusions is None:
+        return None
+    return jnp.asarray(occlusions)
+
+
 class HypothesisBank:
     """Fixed-capacity per-pixel hypothesis store with energy bookkeeping."""
 
@@ -197,6 +206,7 @@ class HypothesisBank:
 def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
                              forward, backward, occlusions,
                              data, data_dx, data_dy, weight_jet, epic_ctx):
+    occ_masks = jnp_occ(occlusions)
     """Hypothesis generation from each jet estimation
     (dense_tracking.cpp:1098-1360). Returns consistent mask [h, w]."""
     import jax.numpy as jnp
@@ -236,7 +246,8 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
             jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
             jnp.asarray(flows)[:, :, None], jnp.asarray(occl)[:, :, None],
             jnp.asarray(forward), jnp.asarray(data), jnp.asarray(data_dx),
-            jnp.asarray(data_dy), pen_d, ep))[:, :, 0] + weight_jet[r]
+            jnp.asarray(data_dy), pen_d, ep,
+            occ_masks))[:, :, 0] + weight_jet[r]
 
         bank.insert(flows, occl, energy, r, fully)
 
@@ -261,7 +272,7 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
                     jnp.asarray(eoccl)[:, :, None],
                     jnp.asarray(forward), jnp.asarray(data),
                     jnp.asarray(data_dx), jnp.asarray(data_dy),
-                    pen_d, ep))[:, :, 0] + weight_jet[r]
+                    pen_d, ep, occ_masks))[:, :, 0] + weight_jet[r]
                 bank.insert(eflows, eoccl, eenergy, r,
                             np.ones((h, w), bool))
     return consistent
@@ -298,7 +309,8 @@ def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
 
 def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
                         forward, backward, data, data_dx, data_dy,
-                        weight_jet, p_it: int):
+                        weight_jet, p_it: int, occlusions=None):
+
     """Neighbour-proposal sampling (dense_tracking.cpp:1434-1583).
 
     Seeded stratified replacement for the FLANN KD-tree search: for each of
@@ -317,6 +329,7 @@ def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
     px = (xx * xy_incr + xy_start).astype(np.float32)
     py = (yy * xy_incr + xy_start).astype(np.float32)
     rng = np.random.default_rng(cfg.seed + p_it)
+    occ_masks = jnp_occ(occlusions)
 
     for t, stride in enumerate((cfg.nn_skip1, cfg.nn_skip2)):
         radius = (t + 1) * cfg.neigh_hyp_radius / xy_incr
@@ -349,7 +362,7 @@ def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
                 jnp.asarray(cand_flows)[:, :, None],
                 jnp.asarray(occl)[:, :, None], jnp.asarray(forward),
                 jnp.asarray(data), jnp.asarray(data_dx),
-                jnp.asarray(data_dy), pen_d, ep))[:, :, 0] \
+                jnp.asarray(data_dy), pen_d, ep, occ_masks))[:, :, 0] \
                 + weight_jet[cand_jet]
 
             # similarity rejection against every existing slot
@@ -412,7 +425,8 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
             bank.truncate(1 + cfg.perturb_keep)
 
         propagate_neighbors(bank, cfg, consistent, forward, backward,
-                            data, data_dx, data_dy, weight_jet, p_it)
+                            data, data_dx, data_dy, weight_jet, p_it,
+                            occlusions)
         bank.nms(cfg.traj_sim_method, cfg.traj_sim_thres)
 
         unary = np.where(bank.valid, bank.energy, BIG).astype(np.float32)

@@ -222,7 +222,8 @@ def add_jc(px, py, flows, occl, forward, pen: Penalty, p: EnergyParams):
     return p.acc_jc * jenergy + p.acc_cv * cv
 
 
-def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams):
+def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams,
+             occ_masks=None):
     """Pairwise all-frames brightness/gradient constancy (addBCGC,
     dense_tracking.cpp:240-349) — the hot energy term.
 
@@ -232,7 +233,10 @@ def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams):
     pairs in one dispatch (the TPU replacement for the reference's quadruple
     loop).
 
-    data/data_dx/data_dy: [J+1, H, W, 3]; flows [..., J, 2].
+    data/data_dx/data_dy: [J+1, H, W, 3]; flows [..., J, 2]. `occ_masks`
+    ([J, H, W], nonzero = visible — the jet occlusion maps when
+    `acc_occlusion` is on, dense_tracking.cpp:289) additionally gates the
+    warped samples of frames 1..J.
     """
     Jp1 = data.shape[0]
     h, w = data.shape[1:3]
@@ -273,6 +277,14 @@ def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams):
 
     # visible = inside and not occluded; pair weight = vis_i * vis_j
     vis = inside & (occl[..., None, :Jp1] == 0)          # [..., Wd, J+1]
+    if occ_masks is not None:
+        def mask_frame(t, v):
+            xc = jnp.clip(x[..., t], 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(y[..., t], 0, h - 1).astype(jnp.int32)
+            ok = occ_masks[t - 1][yc, xc] != 0
+            return v.at[..., t].set(v[..., t] & ok)
+
+        vis = jax.lax.fori_loop(1, Jp1, mask_frame, vis)
     pair_w = (vis[..., :, None] & vis[..., None, :]).astype(jnp.float32)
     triu = jnp.triu(jnp.ones((Jp1, Jp1), jnp.float32), k=1)
     pair_w = pair_w * triu
@@ -296,13 +308,25 @@ def add_oc(occl, p: EnergyParams):
     return p.acc_occ * count + p.acc_temporal_occ * change
 
 
-@partial(jax.jit, static_argnames=("pen", "p"))
-def hypothesis_energy(px, py, flows, occl, forward, data, data_dx, data_dy,
-                      pen: Penalty, p: EnergyParams):
-    """Full unary energy of a hypothesis (without the jet-estimation weight)."""
+@partial(jax.jit, static_argnames=("pen", "p", "has_occ_masks"))
+def _hypothesis_energy(px, py, flows, occl, forward, data, data_dx, data_dy,
+                       occ_masks, pen: Penalty, p: EnergyParams,
+                       has_occ_masks: bool):
     return (add_jc(px, py, flows, occl, forward, pen, p)
-            + add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p)
+            + add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p,
+                       occ_masks if has_occ_masks else None)
             + add_oc(occl, p))
+
+
+def hypothesis_energy(px, py, flows, occl, forward, data, data_dx, data_dy,
+                      pen: Penalty, p: EnergyParams, occ_masks=None):
+    """Full unary energy of a hypothesis (without the jet-estimation weight)."""
+    import jax.numpy as jnp
+
+    dummy = occ_masks if occ_masks is not None \
+        else jnp.zeros((1,) + data.shape[1:3], jnp.uint8)
+    return _hypothesis_energy(px, py, flows, occl, forward, data, data_dx,
+                              data_dy, dummy, pen, p, occ_masks is not None)
 
 
 # --------------------------------------------------------------------------
