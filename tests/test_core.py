@@ -221,3 +221,34 @@ def test_pyramid_sizes():
     assert sizes[2] == (81, 162)
     # tiny image stops early
     assert len(pyramid_sizes(6, 6, 5, 0.5)) < 5
+
+
+def test_warp_banded_matches_full(rng):
+    """The windowed one-hot warp must equal the full-width contraction for
+    smooth flows (displacement variation within the halo)."""
+    import jax.numpy as jnp
+    from slowflow_tpu.core.warp import warp_bilinear
+
+    h, w = 160, 280
+    src = rng.random((3, h, w)).astype(np.float32) * 255
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    wx = 30.0 + 8 * np.sin(yy / 30) + 4 * np.cos(xx / 50)
+    wy = -18.0 + 6 * np.cos(xx / 40)
+    full, mf = warp_bilinear(jnp.asarray(src), jnp.asarray(wx),
+                             jnp.asarray(wy), banded=False)
+    band, mb = warp_bilinear(jnp.asarray(src), jnp.asarray(wx),
+                             jnp.asarray(wy), banded=True)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(band), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(mf), np.asarray(mb))
+
+
+def test_warp_backward():
+    import jax.numpy as jnp
+    from slowflow_tpu.core.warp import warp_backward
+
+    src = jnp.asarray(np.arange(64, dtype=np.float32).reshape(1, 8, 8))
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = 1.0
+    out = np.asarray(warp_backward(src, jnp.asarray(flow)))
+    np.testing.assert_allclose(out[0, :, 1:], np.asarray(src)[0, :, :-1],
+                               atol=1e-5)
