@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 _CHUNK = 16   # output rows per one-hot block
 _COLS = 128   # output columns per banded block
-_BAND = 32    # halo around a block's displacement window
+_BAND = 16    # halo around a block's displacement window
 
 
 def _coords(wx, wy, factor, h, w):
