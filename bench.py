@@ -132,7 +132,7 @@ def _cpu_baseline_once(h, w, p):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--height", type=int, default=270)
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--small", action="store_true",
