@@ -231,6 +231,30 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
         if not ok or forward is None:
             continue
 
+        # ---------------------------------------- oracle GT ingestion
+        # acc_oracle loads GT flow + occlusions and snapshots the occlusion
+        # maps (dense_tracking.cpp:985-1077); in the released reference this
+        # data is diagnostic only and never enters the optimization.
+        if tp.parameter("acc_oracle", "0", bool):
+            gt_frames = jets * skip
+            if tp.file_gt:
+                for f in range(gt_frames):
+                    pth = frame_path("", tp.file_gt, tp.sequence_start, f,
+                                     sintel)
+                    if os.path.exists(pth):
+                        g = read_flo(pth)
+                        _ = _resize_flow_np(g, oh, ow)
+            for occ_fmt in tp.occlusions_list[:1]:
+                for f in range(gt_frames):
+                    pth = frame_path("", occ_fmt, tp.sequence_start, f, sintel)
+                    if not os.path.exists(pth):
+                        print(f"Error reading {pth}!", file=sys.stderr)
+                        continue
+                    occ_img = read_pbm(pth)
+                    write_image(acc_folder + "gt_occlusions/"
+                                f"occ_{tp.sequence_start + f:05d}.png",
+                                occ_img)
+
         # EPIC context on the (subsampled) reference image
         epic_ctx = None
         if cfg.epic_interpolation:
