@@ -116,7 +116,7 @@ def run_folder(path, folder, fmt="%07i.tif", scale=0.25, skip=2, samples=40,
                 break
             img = load_frame(p, params, scale, red_loc)
             if img.max() > 255.0:
-                img = img / 256.0
+                img = img / 255.0  # 16-bit -> 8-bit range (adaptiveFR.cpp:453)
             imgs.append(np.clip(img, 0, 255))
         if not ok:
             continue

@@ -259,7 +259,8 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
         epic_ctx = None
         if cfg.epic_interpolation:
             img_scale = 1.0 / (cfg.skip_pixel + 1)
-            ref8 = data[0] / (256.0 if tp.parameter("16bit", "0", bool) else 1.0)
+            ref8 = np.clip(data[0] / 255.0, 0, 255) \
+                if tp.parameter("16bit", "0", bool) else data[0]
             if img_scale != 1.0:
                 nh = int(oh * img_scale)
                 nw = int(ow * img_scale)

@@ -285,9 +285,11 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             write_image(cfg.output + f"gt/flow_{cfg.sequence_start + j * steps:05d}.png",
                         flow_color_img(g[..., 0], g[..., 1]))
 
-    # 8-bit copies for EPIC init before normalization
+    # 8-bit copies for EPIC init before normalization; 16-bit input scales by
+    # 1/255 with saturation like the reference's convertTo (slow_flow.cpp:578)
     norm16 = cfg.parameter("16bit", "0", bool)
-    seq8 = {f: (img / 256.0 if norm16 else img) for f, img in seq.items()}
+    seq8 = {f: (np.clip(img / 255.0, 0, 255) if norm16 else img)
+            for f, img in seq.items()}
 
     # normalize intensities; record stats in the config snapshot
     stack = np.stack([seq[f] for f in range(start_f, end_f)])

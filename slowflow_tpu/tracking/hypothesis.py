@@ -207,12 +207,16 @@ def add_jc(px, py, flows, occl, forward, pen: Penalty, p: EnergyParams):
                             jnp.clip(y, 0, h - 1))
         res = ((u_j - prev - F) ** 2).sum(-1)
         vis = (occl[..., t] == 0) & (occl[..., t + 1] == 0)
-        use = inside & vis & (jnp.abs(u_j).max(-1) < UNKNOWN / 10)
+        known = jnp.abs(u_j).max(-1) < UNKNOWN / 10
+        use = inside & vis & known
         jenergy = jenergy + jnp.where(use, 0.5 * pen.apply(res), 0.0)
-        contrib = contrib + jnp.where(inside, 1.0, 0.0)
+        contrib = contrib + jnp.where(use, 1.0, 0.0)
 
+        # the reference's occluded-frame `continue` (dense_tracking.cpp:203)
+        # also skips the constant-velocity term for inside-but-occluded jets
+        cv_use = (~inside | vis) & known
         cv_term = jnp.linalg.norm(2 * u_j - prev - nxt, axis=-1)
-        cv = cv + jnp.where(jnp.abs(u_j).max(-1) < UNKNOWN / 10, cv_term, 0.0)
+        cv = cv + jnp.where(cv_use, cv_term, 0.0)
         return (jenergy, cv, contrib), None
 
     zero = jnp.zeros(px.shape, jnp.float32)
