@@ -70,6 +70,7 @@ class MultiFrameParams:
     one_direction: bool = False             # slow_flow_method == "forward"
     hbit: bool = False                      # 16-bit input
     pallas_sor: bool = False                # fused VMEM-resident SOR kernel
+    pallas_warp: bool = False               # VMEM one-hot warp kernel
 
     @property
     def ref(self) -> int:
@@ -139,7 +140,7 @@ class MultiFrameParams:
 # --------------------------------------------------------------------------
 # derivative stacks
 # --------------------------------------------------------------------------
-def get_derivatives_mt(seq, wx, wy, ref: int):
+def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False):
     """Warp all 2*ref window frames and build derivative stacks
     (variational_mt.cpp:87-166).
 
@@ -154,11 +155,17 @@ def get_derivatives_mt(seq, wx, wy, ref: int):
     # the warp count (the dominant cost on TPU).
     factors = jnp.arange(n + 1, dtype=wx.dtype) - ref
 
-    def warp_one(img, f):
-        out, mask = warp_bilinear(img, wx, wy, factor=f)
-        return out, mask
+    if pallas_warp:
+        # the frame axis is flattened into the pallas grid (vmap would stage
+        # it into VMEM blocks on this backend)
+        from ..core.warp_pallas import warp_stack_pallas
 
-    warped, masks = jax.vmap(warp_one)(seq, factors)      # [2*ref+1, ...]
+        warped, masks = warp_stack_pallas(seq, wx, wy, factors)
+    else:
+        def warp_one(img, f):
+            return warp_bilinear(img, wx, wy, factor=f)
+
+        warped, masks = jax.vmap(warp_one)(seq, factors)  # [2*ref+1, ...]
     w_a, m_a = warped[:n], masks[:n]                      # frame s
     w_b, m_b = warped[1:], masks[1:]                      # frame s+1
 
@@ -561,7 +568,8 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             cont = (it + 1 < p.niter_outer) & (change >= p.thres_outer)
             derivs = jax.lax.cond(
                 cont,
-                lambda a: get_derivatives_mt(seq, a[0], a[1], ref),
+                lambda a: get_derivatives_mt(seq, a[0], a[1], ref,
+                                             p.pallas_warp),
                 lambda a: a[2],
                 (uu, vv, (succ, to_ref, mask)))
             return uu, vv, derivs, it + jnp.int32(1), change
@@ -572,7 +580,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
     def alter_body(it, carry):
         wx, wy, occ = carry
-        derivs = get_derivatives_mt(seq, wx, wy, ref)
+        derivs = get_derivatives_mt(seq, wx, wy, ref, p.pallas_warp)
         if p.occlusion_reasoning and not p.one_direction:
             def occ_update(args):
                 (succ, to_ref, mask), occ = args

@@ -66,3 +66,27 @@ def test_pallas_sor_matches_xla(rng, iterations):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                atol=1e-5)
+
+
+def test_pallas_warp_matches_xla(rng):
+    """The VMEM one-hot warp kernel must match the reference warp exactly
+    (interpret mode on CPU; Mosaic path exercised by the benchmark)."""
+    import jax.numpy as jnp
+
+    from slowflow_tpu.core.warp import warp_bilinear
+    from slowflow_tpu.core.warp_pallas import warp_stack_pallas
+
+    h, w = 64, 160
+    seq = rng.random((3, 3, h, w)).astype(np.float32) * 255
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    wx = jnp.asarray(4.0 + 2 * np.sin(yy / 20))
+    wy = jnp.asarray(-2.0 + 1.5 * np.cos(xx / 25))
+    factors = np.array([-1.0, 0.0, 1.0], np.float32)
+
+    out, masks = warp_stack_pallas(seq, wx, wy, factors, interpret=True)
+    for f in range(3):
+        want, wmask = warp_bilinear(jnp.asarray(seq[f]), wx, wy,
+                                    factor=float(factors[f]), banded=False)
+        np.testing.assert_allclose(np.asarray(out[f]), np.asarray(want),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(masks[f]), np.asarray(wmask))
