@@ -331,50 +331,73 @@ def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
     rng = np.random.default_rng(cfg.seed + p_it)
     occ_masks = jnp_occ(occlusions)
 
+    ntry = cfg.hyp_neigh_tryouts
+    group = max(1, min(4, ntry))  # candidates evaluated per device dispatch
+
     for t, stride in enumerate((cfg.nn_skip1, cfg.nn_skip2)):
         radius = (t + 1) * cfg.neigh_hyp_radius / xy_incr
         want = (t + 1) * cfg.neigh_hyp
         added = np.zeros((h, w), np.int32)
-        for _ in range(cfg.hyp_neigh_tryouts):
-            ang = rng.uniform(0, 2 * np.pi, (h, w))
-            rad = np.sqrt(rng.uniform(0, 1, (h, w))) * radius
-            sx = np.clip((xx + rad * np.cos(ang)).astype(int), 0, w - 1)
-            sy = np.clip((yy + rad * np.sin(ang)).astype(int), 0, h - 1)
-            # snap to the lattice the reference builds its KD-tree from
-            sx = np.clip(((sx - 1) // stride) * stride + 1, 0, w - 1)
-            sy = np.clip(((sy - 1) // stride) * stride + 1, 0, h - 1)
-            src_ok = bank.valid[sy, sx, 0]
-            if p_it == 0:
-                src_ok &= consistent[sy, sx]
-            src_ok &= (sx != xx) | (sy != yy)
-            src_ok &= added < want
 
-            cand_flows = bank.flows[sy, sx, 0]       # [h, w, J, 2]
-            cand_jet = bank.jet_est[sy, sx, 0]
+        # draw all tryouts up front (same seeded distribution as the
+        # per-tryout loop) and evaluate them in grouped dispatches
+        ang = rng.uniform(0, 2 * np.pi, (ntry, h, w))
+        rad = np.sqrt(rng.uniform(0, 1, (ntry, h, w))) * radius
+        sx_all = np.clip((xx + rad * np.cos(ang)).astype(int), 0, w - 1)
+        sy_all = np.clip((yy + rad * np.sin(ang)).astype(int), 0, h - 1)
+        sx_all = np.clip(((sx_all - 1) // stride) * stride + 1, 0, w - 1)
+        sy_all = np.clip(((sy_all - 1) // stride) * stride + 1, 0, h - 1)
+
+        for g0 in range(0, ntry, group):
+            sxg = sx_all[g0:g0 + group]                       # [G, h, w]
+            syg = sy_all[g0:g0 + group]
+            G = sxg.shape[0]
+            cand_flows = np.stack([bank.flows[syg[i], sxg[i], 0]
+                                   for i in range(G)], axis=2)  # [h, w, G, J, 2]
+            cand_jet = np.stack([bank.jet_est[syg[i], sxg[i], 0]
+                                 for i in range(G)], axis=2)    # [h, w, G]
 
             occl = np.asarray(set_occlusions(
                 jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                jnp.asarray(cand_flows)[:, :, None], jnp.asarray(forward),
+                jnp.asarray(cand_flows), jnp.asarray(forward),
                 jnp.asarray(backward), cfg.occlusion_threshold,
-                cfg.occlusion_fb_threshold))[:, :, 0]
+                cfg.occlusion_fb_threshold))                    # [h, w, G, J+1]
             energy = np.asarray(hypothesis_energy(
                 jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                jnp.asarray(cand_flows)[:, :, None],
-                jnp.asarray(occl)[:, :, None], jnp.asarray(forward),
-                jnp.asarray(data), jnp.asarray(data_dx),
-                jnp.asarray(data_dy), pen_d, ep, occ_masks))[:, :, 0] \
-                + weight_jet[cand_jet]
+                jnp.asarray(cand_flows), jnp.asarray(occl),
+                jnp.asarray(forward), jnp.asarray(data),
+                jnp.asarray(data_dx), jnp.asarray(data_dy), pen_d, ep,
+                occ_masks)) + weight_jet[cand_jet]              # [h, w, G]
 
-            # similarity rejection against every existing slot
-            d = np.asarray(trajectory_distance(
+            # distances: candidates vs bank slots and vs earlier candidates
+            d_bank = np.asarray(trajectory_distance(
+                jnp.asarray(cand_flows)[:, :, :, None],
+                jnp.asarray(bank.flows)[:, :, None],
+                cfg.traj_sim_method))                           # [h, w, G, K]
+            d_cand = np.asarray(trajectory_distance(
+                jnp.asarray(cand_flows)[:, :, :, None],
                 jnp.asarray(cand_flows)[:, :, None],
-                jnp.asarray(bank.flows), cfg.traj_sim_method))  # [h, w, K]
-            similar = ((d < cfg.traj_sim_thres) & bank.valid).any(-1)
+                cfg.traj_sim_method))                           # [h, w, G, G]
 
-            ins = src_ok & ~similar
-            n = bank.insert(cand_flows, occl, energy, cand_jet, ins)
-            added += ins.astype(np.int32)
-            if n == 0:
+            # sequential insertion semantics on the host (cheap bit-ops)
+            inserted_prev = {}
+            for i in range(G):
+                src_ok = bank.valid[syg[i], sxg[i], 0]
+                if p_it == 0:
+                    src_ok &= consistent[syg[i], sxg[i]]
+                src_ok &= (sxg[i] != xx) | (syg[i] != yy)
+                src_ok &= added < want
+                similar = ((d_bank[:, :, i] < cfg.traj_sim_thres)
+                           & bank.valid).any(-1)
+                for j in range(i):
+                    similar |= inserted_prev[j] & (
+                        d_cand[:, :, i, j] < cfg.traj_sim_thres)
+                ins = src_ok & ~similar
+                bank.insert(cand_flows[:, :, i], occl[:, :, i],
+                            energy[:, :, i], cand_jet[:, :, i], ins)
+                inserted_prev[i] = ins
+                added += ins.astype(np.int32)
+            if (added >= want).all():
                 break
 
 

@@ -144,6 +144,9 @@ def set_occlusions(px, py, flows, forward, backward, occ_threshold,
     """
     J = flows.shape[-2]
     h, w = forward.shape[1:3]
+    shape = jnp.broadcast_shapes(px.shape, flows.shape[:-2])
+    px = jnp.broadcast_to(px, shape)
+    py = jnp.broadcast_to(py, shape)
 
     def step(occ_prev, t):
         prev_flow = jnp.where(t > 0, flows[..., jnp.maximum(t - 1, 0), :], 0.0)
@@ -193,6 +196,9 @@ def add_jc(px, py, flows, occl, forward, pen: Penalty, p: EnergyParams):
     dense_tracking.cpp:176-233). flows [..., J, 2]; returns [...]."""
     J = flows.shape[-2]
     h, w = forward.shape[1:3]
+    shape = jnp.broadcast_shapes(px.shape, flows.shape[:-2])
+    px = jnp.broadcast_to(px, shape)
+    py = jnp.broadcast_to(py, shape)
 
     def step(carry, t):
         jenergy, cv, contrib = carry
