@@ -43,7 +43,7 @@ def write_image(path, arr: np.ndarray, bit16: bool = False) -> None:
             out = np.clip(arr / 256.0, 0, 255).astype(np.uint8)
             Image.fromarray(out, "RGB").save(path)
             return
-        Image.fromarray(out, "I;16").save(path)
+        Image.fromarray(out).save(path)  # uint16 -> I;16 inferred
     else:
         out = np.clip(arr, 0, 255).astype(np.uint8)
         mode = "RGB" if out.ndim == 3 else "L"
