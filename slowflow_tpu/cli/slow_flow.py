@@ -386,8 +386,20 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             cw = np.broadcast_to(channel_w, (len(group), 3, h, w))
             na = np.broadcast_to(norm_avg, (len(group), 3))
             ns = np.broadcast_to(norm_std, (len(group), 3))
-            wx, wy, occ = variational_mt_batched(wx0, wy0, windows, pb, cw,
-                                                 na, ns)
+
+            # multi-chip: shard the jet batch across devices (pure DP over
+            # the jet axis — the TPU replacement for OpenMP-over-jets,
+            # slow_flow.cpp:706)
+            import jax
+            args = (wx0, wy0, windows, cw, na, ns)
+            n_dev = len(jax.devices())
+            if n_dev > 1 and len(group) % n_dev == 0:
+                from ..parallel.mesh import make_mesh, shard_jet_batch
+                mesh = make_mesh(n_jet=n_dev, n_sp=1)
+                args = shard_jet_batch(mesh, *args)
+            wx0s, wy0s, windows_s, cws, nas, nss = args
+            wx, wy, occ = variational_mt_batched(wx0s, wy0s, windows_s, pb,
+                                                 cws, nas, nss)
             wx = np.asarray(wx) * steps
             wy = np.asarray(wy) * steps
             occ = np.asarray(occ)

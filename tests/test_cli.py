@@ -120,3 +120,35 @@ def mf_defaults_ok(p):
     assert mp.sor_omega == 1.9
     assert mp.rho == (1.0,)
     assert mp.occlusion_reasoning is True
+
+
+def test_slow_flow_batched_sharded_mesh():
+    """The batched jet solve must run with its batch axis sharded over the
+    virtual multi-device mesh (the CLI's multi-chip path)."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device mesh")
+
+    from slowflow_tpu.parallel.mesh import make_mesh, shard_jet_batch
+    from slowflow_tpu.variational.multiframe import (
+        MultiFrameParams, variational_mt_batched)
+
+    n = len(jax.devices())
+    b, h, w = n, 32, 40
+    rng = np.random.default_rng(0)
+    seq = rng.random((b, 3, 3, h, w)).astype(np.float32) * 255
+    p = MultiFrameParams(S=2, rho=(1.0,), omega=(1.0,), layers=1,
+                         niter_alter=1, niter_outer=2, niter_solver=5,
+                         occlusion_reasoning=False)
+    mesh = make_mesh(n_jet=n, n_sp=1)
+    wx = np.zeros((b, h, w), np.float32)
+    args = shard_jet_batch(mesh, wx, wx.copy(), seq,
+                           np.ones((b, 3, h, w), np.float32),
+                           np.zeros((b, 3), np.float32),
+                           np.ones((b, 3), np.float32))
+    out = variational_mt_batched(args[0], args[1], args[2], p,
+                                 args[3], args[4], args[5])
+    assert np.asarray(out[0]).shape == (b, h, w)
