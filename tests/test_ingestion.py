@@ -78,3 +78,49 @@ def test_slow_flow_ingests_edges_and_matches(tmp_path):
     inner = (slice(10, -10), slice(10, -10))
     err = np.hypot(flow[inner][..., 0] - u, flow[inner][..., 1] - v)
     assert err.mean() < 0.3, err.mean()
+
+
+def test_slow_flow_jet_selection(tmp_path):
+    """-jet N restricts work to one jet and implies resume
+    (slow_flow.cpp:184-189, 413-424)."""
+    import textwrap
+
+    from slowflow_tpu.cli.slow_flow import main
+
+    h, w = 56, 64
+    rng = np.random.default_rng(5)
+    seq_dir = tmp_path / "seq"
+    seq_dir.mkdir()
+    base = rng.random((h + 20, w + 20, 3)) * 255
+    yy, xx = np.mgrid[0:h, 0:w]
+    for f in range(8):
+        img = base[yy + 10 - 0, xx + 10]  # static scene is fine here
+        write_image(seq_dir / f"frame_{f:03d}.png", img)
+
+    out_dir = tmp_path / "out"
+    cfg = tmp_path / "sf.cfg"
+    cfg.write_text(textwrap.dedent(f"""\
+    file\t{seq_dir}/frame_%03i.png
+    output\t{out_dir}
+    Jets\t3
+    start\t3
+    max_fps\t40
+    ref_fps\t40
+    jet_fps\t40
+    adaptive\t0
+    16bit\t0
+    raw\t0
+    scale\t1.0
+    deep_matching\t0
+    slow_flow_S\t2
+    slow_flow_layers\t1
+    slow_flow_niter_alter\t1
+    slow_flow_niter_outer\t2
+    slow_flow_niter_solver\t10
+    slow_flow_occlusion_reasoning\t0
+    """))
+    rc = main([str(cfg), "-jet", "1"])
+    assert rc == 0
+    assert (out_dir / "frame_004.flo").exists()      # jet 1 only
+    assert not (out_dir / "frame_003.flo").exists()  # jet 0 untouched
+    assert not (out_dir / "frame_005.flo").exists()  # jet 2 untouched
