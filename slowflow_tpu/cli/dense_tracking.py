@@ -127,6 +127,7 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
     grayscale = params.parameter("grayscale", "0", bool)
     timing = dict(unary=0.0, pairwise=0.0, optimization=0.0)
 
+    stats = {"variables": [], "factors": []}
     for start_jet in range(selected, selected_end):
         t_start = time.time()
         tp = ParameterList(clone=params)
@@ -274,6 +275,8 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
             data_hw, dx_hw, dy_hw, sw, weight_jet, epic_ctx,
             verbose=tp.verbosity(Verbosity.VER_CMD))
 
+        stats["variables"].append(info.get("variables", 0))
+        stats["factors"].extend(info.get("factors", []))
         write_flo(final_file, flow)
         write_pbm(acc_folder + f"occlusions/frame_{tp.sequence_start}.pbm",
                   occ_map)
@@ -288,7 +291,10 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
         fh.write(f"Run discrete optimization took "
                  f"{timing['optimization']:.1f}s.\n\n")
         fh.write("Discrete Optimization:\n")
-        fh.write(f"\tVariables:\t{0}\n\tFactors:\t{0}\n\n")
+        fh.write("\tVariables:\t"
+                 + "\t".join(str(v) for v in stats["variables"]) + "\n")
+        fh.write("\tFactors:\t"
+                 + "\t".join(str(f) for f in stats["factors"]) + "\n\n")
     print("Done!")
     return 0
 

@@ -431,6 +431,10 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
     with open(cfg.output + "results.info", "w") as fh:
         fh.write("SlowFlow variational estimation\n\n")
         fh.writelines(results)
+        times = [float(r.split("\t")[1]) for r in results[1:]
+                 if "\t" in r and not r.startswith("#")]
+        if times:
+            fh.write(f"\n\navg\t{sum(times) / len(times):.1f}s\n")
 
 
 def main(argv=None):
