@@ -31,25 +31,39 @@ import numpy as np
 
 
 def _moving_sequence(f, h, w, u, v, seed=0):
-    """Smooth texture translating (u, v) px/frame — real optimization work."""
+    """Two-layer scene: smooth background translating (u, v) px/frame with a
+    foreground patch moving the opposite way — real occlusion boundaries keep
+    the occlusion reasoning and the alternation loop honestly busy."""
     rng = np.random.default_rng(seed)
     pad = 16
     base = rng.random((h + 2 * pad, w + 2 * pad)).astype(np.float32) * 255
+    fg = rng.random((h + 2 * pad, w + 2 * pad)).astype(np.float32) * 255
     for _ in range(2):  # cheap smoothing
         base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0)
                        + np.roll(base, 1, 1) + np.roll(base, -1, 1))
+        fg = 0.25 * (np.roll(fg, 1, 0) + np.roll(fg, -1, 0)
+                     + np.roll(fg, 1, 1) + np.roll(fg, -1, 1))
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
     ref = (f - 1) // 2
-    for s in range(-ref, f - ref):
-        xs = np.clip(xx + pad - s * u, 0, w + 2 * pad - 2)
-        ys = np.clip(yy + pad - s * v, 0, h + 2 * pad - 2)
+
+    def sample(img, dx_t, dy_t):
+        xs = np.clip(xx + pad - dx_t, 0, w + 2 * pad - 2)
+        ys = np.clip(yy + pad - dy_t, 0, h + 2 * pad - 2)
         x0 = xs.astype(int); y0 = ys.astype(int)
         fx = xs - x0; fy = ys - y0
-        im = (base[y0, x0] * (1 - fx) * (1 - fy)
-              + base[y0, x0 + 1] * fx * (1 - fy)
-              + base[y0 + 1, x0] * (1 - fx) * fy
-              + base[y0 + 1, x0 + 1] * fx * fy)
+        return (img[y0, x0] * (1 - fx) * (1 - fy)
+                + img[y0, x0 + 1] * fx * (1 - fy)
+                + img[y0 + 1, x0] * (1 - fx) * fy
+                + img[y0 + 1, x0 + 1] * fx * fy)
+
+    cy, cx, r = h // 2, w // 2, min(h, w) // 6
+    for s in range(-ref, f - ref):
+        im = sample(base, s * u, s * v)
+        im_fg = sample(fg, -s * u, s * v)          # foreground counter-moves
+        in_fg = ((yy - (cy + s * v)) ** 2
+                 + (xx - (cx - s * u)) ** 2) < r * r
+        im = np.where(in_fg, im_fg, im)
         frames.append(np.repeat(im[None], 3, 0))
     return np.stack(frames)
 

@@ -1,0 +1,82 @@
+"""Mode coverage for the multi-frame energy: forward-only windows
+(slow_flow_method forward -> one_direction) and the three smoothing schemes
+(slow_flow_smoothing 0/1/2, variational_aux_mt.cpp:18-127)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from slowflow_tpu.variational import MultiFrameParams, variational_mt
+from slowflow_tpu.variational.multiframe import compute_smoothness_mt
+from slowflow_tpu.core.penalty import make_penalty
+
+
+def _window(h, w, dx, dy, S, seed=3):
+    ref = S - 1
+    rng = np.random.default_rng(seed)
+    base = rng.random((h + 40, w + 40)).astype(np.float32) * 255
+    k = np.ones(5) / 5
+    for ax in (0, 1):
+        base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), ax,
+                                   base)
+    frames = []
+    for s in range(-ref, ref + 1):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        xs = np.clip(xx + 20 - s * dx, 0, w + 39)
+        ys = np.clip(yy + 20 - s * dy, 0, h + 39)
+        x0 = np.floor(xs).astype(int); y0 = np.floor(ys).astype(int)
+        fx = xs - x0; fy = ys - y0
+        x1 = np.clip(x0 + 1, 0, w + 39); y1 = np.clip(y0 + 1, 0, h + 39)
+        im = (base[y0, x0] * (1 - fx) * (1 - fy) + base[y0, x1] * fx * (1 - fy)
+              + base[y1, x0] * (1 - fx) * fy + base[y1, x1] * fx * fy)
+        frames.append(np.repeat(im[None], 3, axis=0))
+    return np.stack(frames).astype(np.float32)
+
+
+def test_one_direction_forward_window():
+    """one_direction drops the past terms and still recovers the motion
+    (variational_mt.cpp:92-93, 345-352)."""
+    h, w, S = 36, 40, 3
+    dx, dy = 0.8, -0.4
+    seq = _window(h, w, dx, dy, S)
+    p = MultiFrameParams(S=S, rho=(1.0, 1.0), omega=(0.0, 2.0),
+                         layers=1, niter_alter=1, niter_outer=6,
+                         occlusion_reasoning=False, one_direction=True)
+    wx, wy, occ = variational_mt(jnp.zeros((h, w)), jnp.zeros((h, w)), seq, p)
+    inner = (slice(8, -8), slice(8, -8))
+    err = np.hypot(np.asarray(wx)[inner] - dx, np.asarray(wy)[inner] - dy)
+    assert np.mean(err) < 0.35, np.mean(err)
+    # occlusions init to "past" everywhere in forward mode
+    assert (np.asarray(occ) == -1.0).all()
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_smoothing_methods(method):
+    rng = np.random.default_rng(0)
+    h, w = 12, 14
+    uu = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    vv = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+    dpsis = jnp.full((h, w), 0.5)
+    pen = make_penalty(1, 0.001)
+    wh, wv = compute_smoothness_mt(uu, vv, dpsis, 4.0, pen, method)
+    wh = np.asarray(wh); wv = np.asarray(wv)
+    assert (wh >= 0).all() and (wv >= 0).all()
+    assert (wh[:, -1] == 0).all() and (wv[-1, :] == 0).all()
+    if method == 2:
+        # shared weight for both directions (interior)
+        np.testing.assert_allclose(wh[:-1, :-1], wv[:-1, :-1])
+    # smooth flow -> larger weights than rough flow
+    wh_flat, _ = compute_smoothness_mt(uu * 0, vv * 0, dpsis, 4.0, pen, method)
+    assert np.asarray(wh_flat)[:-1, :-1].mean() > wh[:-1, :-1].mean()
+
+
+@pytest.mark.parametrize("method", [0, 2])
+def test_multiframe_smoothing_variants_run(method):
+    h, w, S = 32, 36, 2
+    seq = _window(h, w, 1.0, 0.5, S)
+    p = MultiFrameParams(S=S, rho=(1.0,), omega=(1.0,), layers=1,
+                         niter_alter=1, niter_outer=4,
+                         occlusion_reasoning=False, smoothing=method)
+    wx, wy, _ = variational_mt(jnp.zeros((h, w)), jnp.zeros((h, w)), seq, p)
+    inner = (slice(8, -8), slice(8, -8))
+    err = np.hypot(np.asarray(wx)[inner] - 1.0, np.asarray(wy)[inner] - 0.5)
+    assert np.mean(err) < 0.4, np.mean(err)
