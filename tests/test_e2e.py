@@ -169,3 +169,39 @@ def test_dense_tracking_stage(pipeline):
     inner = (slice(12, -12), slice(12, -12))
     err = np.hypot(flow[inner][..., 0] - 2 * U, flow[inner][..., 1] - 2 * V)
     assert err.mean() < 0.6, err.mean()
+
+
+def test_dense_tracking_with_jet_occlusions(pipeline):
+    """acc_occlusion 1 ingests the slow_flow occlusion PBMs and gates the
+    accumulation + energies with them (dense_tracking.cpp:1157-1201)."""
+    tmp_path, seq_dir = pipeline
+    from slowflow_tpu.cli.dense_tracking import main
+
+    cfg = tmp_path / "dense_tracking_occ.cfg"
+    cfg.write_text(textwrap.dedent(f"""\
+    file\t{seq_dir}/frame_%03i.png
+    jet_estimation\t{tmp_path}/sf_out/
+    flow_format\tframe_%03i
+    output\t{tmp_path}/dt_occ_out
+    start\t{START}
+    max_fps\t40
+    ref_fps\t20
+    ref_fps_F\t1
+    16bit\t0
+    raw\t0
+    scale\t1.0
+    acc_skip_pixel\t0
+    acc_occlusion\t1
+    acc_epic_interpolation\t1
+    acc_alternate\t2
+    acc_trws_max_iter\t5
+    acc_neigh_hyp\t2
+    acc_hyp_neigh_tryouts\t4
+    seed\t3
+    """))
+    rc = main([str(cfg)])
+    assert rc == 0
+    flow = read_flo(tmp_path / "dt_occ_out" / f"frame_{START:03d}.flo")
+    inner = (slice(12, -12), slice(12, -12))
+    err = np.hypot(flow[inner][..., 0] - 2 * U, flow[inner][..., 1] - 2 * V)
+    assert err.mean() < 0.6, err.mean()
