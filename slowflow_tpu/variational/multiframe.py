@@ -476,12 +476,21 @@ def solve_binary_potts(e0, e1, alpha, iterations: int, init=None):
         new = jnp.where(c1 < c0, 1.0, 0.0)
         return jnp.where(mask, new, lab)
 
-    def body(_, lab):
-        lab = half(lab, red)
-        lab = half(lab, ~red)
-        return lab
+    def body(carry):
+        lab, it, _ = carry
+        new = half(lab, red)
+        new = half(new, ~red)
+        # a stable red+black sweep is a fixed point of ICM: further sweeps
+        # are no-ops, so exiting early is exactly result-preserving
+        return new, it + 1, jnp.any(new != lab)
 
-    return jax.lax.fori_loop(0, iterations, body, lab)
+    def cond(carry):
+        _, it, changed = carry
+        return (it < iterations) & changed
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.int32(0),
+                                                jnp.bool_(True)))
+    return lab
 
 
 # --------------------------------------------------------------------------
