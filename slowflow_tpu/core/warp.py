@@ -15,6 +15,11 @@ standard TPU lookup trick):
 with Ox carrying the (1-dx)/dx weights at the clamped x0/x1 columns and Oy
 the dy weights at y0/y1 — exactly the 4-corner bilinear formula. The output
 rows are processed in chunks (lax.map) to bound the one-hot intermediates.
+
+The contractions run at Precision.HIGH (bf16x3): max abs deviation from the
+exact f32 warp is ~7e-3 on 0-255 images (measured) — far below the data
+term's sensitivity — while the matmuls run ~1.8x faster than HIGHEST on the
+MXU. DEFAULT (single-pass bf16) is NOT acceptable (~1.0 max abs error).
 """
 from __future__ import annotations
 
@@ -92,7 +97,7 @@ def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
         c_mat = jax.lax.dot_general(
             src2, ox.reshape(w, r * w),
             dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32).reshape(-1, h, r, w)
         oy = ((iota_y[:, None, None] == y0c[None]) * (1.0 - dyc)[None]
               + (iota_y[:, None, None] == y1c[None]) * dyc[None]
@@ -173,7 +178,7 @@ def _warp_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
         c_mat = jax.lax.dot_general(
             win, ox.reshape(win.shape[2], R * T),
             dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32).reshape(c, win.shape[1], R, T)
         oy = ((iota_wy[: win.shape[1], None, None] == ly0[None])
               * (1.0 - bdy)[None]

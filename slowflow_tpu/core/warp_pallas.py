@@ -51,7 +51,7 @@ def _kernel(offs_ref, win_ref, x0_ref, x1_ref, dx_ref, y0_ref, y1_ref,
     win = win_ref[0].reshape(c * wy_win, wx_win)
     c_mat = jax.lax.dot_general(
         win, ox, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32).reshape(c, wy_win, R * T)
 
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (wy_win, R * T), 0)
