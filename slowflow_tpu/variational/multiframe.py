@@ -162,10 +162,13 @@ def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False):
 
         warped, masks = warp_stack_pallas(seq, wx, wy, factors)
     else:
-        def warp_one(img, f):
-            return warp_bilinear(img, wx, wy, factor=f)
-
-        warped, masks = jax.vmap(warp_one)(seq, factors)  # [2*ref+1, ...]
+        # unrolled over the (static) window size: vmap-of-the-banded-warp
+        # batches its dynamic_slice windows into gathers and measured 2.2x
+        # slower than 2*ref+1 independent warps (bit-identical outputs)
+        pairs = [warp_bilinear(seq[k], wx, wy, factor=float(k - ref))
+                 for k in range(n + 1)]
+        warped = jnp.stack([o for o, _ in pairs])         # [2*ref+1, ...]
+        masks = jnp.stack([m for _, m in pairs])
     w_a, m_a = warped[:n], masks[:n]                      # frame s
     w_b, m_b = warped[1:], masks[1:]                      # frame s+1
 
@@ -672,7 +675,17 @@ def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
     cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
         if p.layers > 1 else [channel_w]
 
-    level_fn = jax.vmap(partial(compute_one_level, p=p))
+    if b <= 4:
+        # unroll small jet batches: vmap would (a) batch the banded warp's
+        # dynamic_slice windows into gathers (2x slower warps) and (b) run
+        # every convergence-gated while_loop to the slowest jet; unrolled,
+        # each jet solves independently inside the same program
+        def level_fn(wx, wy, seqs, cw, na, ns):
+            outs = [compute_one_level(wx[i], wy[i], seqs[i], cw[i],
+                                      na[i], ns[i], p=p) for i in range(b)]
+            return tuple(jnp.stack(z) for z in zip(*outs))
+    else:
+        level_fn = jax.vmap(partial(compute_one_level, p=p))
 
     L = len(sizes)
     if L > 1:
