@@ -393,12 +393,18 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             import jax
             args = (wx0, wy0, windows, cw, na, ns)
             n_dev = len(jax.devices())
+            pb_run = pb
             if n_dev > 1 and len(group) % n_dev == 0:
+                from dataclasses import replace as dc_replace
+
                 from ..parallel.mesh import make_mesh, shard_jet_batch
                 mesh = make_mesh(n_jet=n_dev, n_sp=1)
                 args = shard_jet_batch(mesh, *args)
+                # the sharded batch axis must stay a mapped axis (unrolled
+                # per-jet indexing would gather jets across devices)
+                pb_run = dc_replace(pb, unroll_jets=False)
             wx0s, wy0s, windows_s, cws, nas, nss = args
-            wx, wy, occ = variational_mt_batched(wx0s, wy0s, windows_s, pb,
+            wx, wy, occ = variational_mt_batched(wx0s, wy0s, windows_s, pb_run,
                                                  cws, nas, nss)
             wx = np.asarray(wx) * steps
             wy = np.asarray(wy) * steps

@@ -71,6 +71,11 @@ class MultiFrameParams:
     hbit: bool = False                      # 16-bit input
     pallas_sor: bool = False                # fused VMEM-resident SOR kernel
     pallas_warp: bool = False               # VMEM one-hot warp kernel
+    unroll_jets: bool = True                # unroll small jet batches (single
+                                            # chip); MUST be False when the
+                                            # batch axis is sharded over a
+                                            # device mesh (per-jet indexing
+                                            # would gather across devices)
 
     @property
     def ref(self) -> int:
@@ -675,7 +680,7 @@ def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
     cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
         if p.layers > 1 else [channel_w]
 
-    if b <= 4:
+    if p.unroll_jets and b <= 4:
         # unroll small jet batches: vmap would (a) batch the banded warp's
         # dynamic_slice windows into gathers (2x slower warps) and (b) run
         # every convergence-gated while_loop to the slowest jet; unrolled,
