@@ -80,3 +80,24 @@ def test_multiframe_smoothing_variants_run(method):
     inner = (slice(8, -8), slice(8, -8))
     err = np.hypot(np.asarray(wx)[inner] - 1.0, np.asarray(wy)[inner] - 0.5)
     assert np.mean(err) < 0.4, np.mean(err)
+
+
+def test_unrolled_vs_vmapped_batch_equivalence():
+    """unroll_jets=True (default, b<=4) and the vmapped path must agree to
+    float-reassociation noise; the sharded multi-device CLI branch relies on
+    the vmapped path being interchangeable."""
+    import dataclasses
+    from slowflow_tpu.variational.multiframe import variational_mt_batched
+
+    h, w, S, b = 32, 36, 2, 2
+    seq = np.stack([_window(h, w, 1.0, 0.5, S, seed=7 + i) for i in range(b)])
+    p = MultiFrameParams(S=S, rho=(1.0,), omega=(1.0,), layers=2,
+                         p_scale=0.7, niter_alter=2, niter_outer=3,
+                         occlusion_reasoning=True)
+    z = jnp.zeros((b, h, w))
+    wx_u, wy_u, occ_u = variational_mt_batched(z, z, seq, p)
+    p_v = dataclasses.replace(p, unroll_jets=False)
+    wx_v, wy_v, occ_v = variational_mt_batched(z, z, seq, p_v)
+    np.testing.assert_allclose(np.asarray(wx_u), np.asarray(wx_v), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(wy_u), np.asarray(wy_v), atol=5e-4)
+    assert (np.asarray(occ_u) != np.asarray(occ_v)).mean() < 0.01
