@@ -307,6 +307,38 @@ def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
     return out
 
 
+def _group_evaluator(pen_fct, pen_eps, occ_thr, fb_thr, sim_method, ep,
+                     has_occ_masks, _cache={}):
+    """Jitted proposal-group evaluation: occlusions + energy + both distance
+    tables fuse into ONE program (each separate call pays a ~30 ms round
+    trip on tunneled backends). Cached at module level so repeated
+    propagate_neighbors calls reuse the traced function."""
+    import jax
+
+    key = (pen_fct, pen_eps, occ_thr, fb_thr, sim_method, ep, has_occ_masks)
+    if key in _cache:
+        return _cache[key]
+    pen_d = make_penalty(pen_fct, pen_eps)
+
+    @jax.jit
+    def eval_group(px1, py1, cand_flows, bank_flows, forward, backward,
+                   data, data_dx, data_dy, *extra):
+        occ_masks = extra[0] if has_occ_masks else None
+        occl = set_occlusions(px1, py1, cand_flows, forward, backward,
+                              occ_thr, fb_thr)
+        energy = hypothesis_energy(px1, py1, cand_flows, occl, forward,
+                                   data, data_dx, data_dy, pen_d, ep,
+                                   occ_masks)
+        d_bank = trajectory_distance(cand_flows[:, :, :, None],
+                                     bank_flows[:, :, None], sim_method)
+        d_cand = trajectory_distance(cand_flows[:, :, :, None],
+                                     cand_flows[:, :, None], sim_method)
+        return occl, energy, d_bank, d_cand
+
+    _cache[key] = eval_group
+    return eval_group
+
+
 def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
                         forward, backward, data, data_dx, data_dy,
                         weight_jet, p_it: int, occlusions=None):
@@ -332,7 +364,27 @@ def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
     occ_masks = jnp_occ(occlusions)
 
     ntry = cfg.hyp_neigh_tryouts
-    group = max(1, min(4, ntry))  # candidates evaluated per device dispatch
+    # candidates per device dispatch. NOTE: the group size is semantics-
+    # relevant — within a group, an insertion that evicts an existing bank
+    # hypothesis leaves later candidates' d_bank rows stale (the reference's
+    # strictly sequential tryout loop refreshes per tryout); 4 keeps that
+    # window small
+    group = max(1, min(4, ntry))
+
+    forward_j = jnp.asarray(forward)
+    backward_j = jnp.asarray(backward)
+    data_j = jnp.asarray(data)
+    data_dx_j = jnp.asarray(data_dx)
+    data_dy_j = jnp.asarray(data_dy)
+    evaluator = _group_evaluator(
+        cfg.penalty_fct_data, cfg.penalty_fct_data_eps,
+        cfg.occlusion_threshold, cfg.occlusion_fb_threshold,
+        cfg.traj_sim_method, ep, occ_masks is not None)
+
+    def eval_group(px1, py1, cand_flows, bank_flows):
+        extra = (occ_masks,) if occ_masks is not None else ()
+        return evaluator(px1, py1, cand_flows, bank_flows, forward_j,
+                         backward_j, data_j, data_dx_j, data_dy_j, *extra)
 
     for t, stride in enumerate((cfg.nn_skip1, cfg.nn_skip2)):
         radius = (t + 1) * cfg.neigh_hyp_radius / xy_incr
@@ -357,27 +409,13 @@ def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
             cand_jet = np.stack([bank.jet_est[syg[i], sxg[i], 0]
                                  for i in range(G)], axis=2)    # [h, w, G]
 
-            occl = np.asarray(set_occlusions(
+            occl_d, energy_d, d_bank_d, d_cand_d = eval_group(
                 jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                jnp.asarray(cand_flows), jnp.asarray(forward),
-                jnp.asarray(backward), cfg.occlusion_threshold,
-                cfg.occlusion_fb_threshold))                    # [h, w, G, J+1]
-            energy = np.asarray(hypothesis_energy(
-                jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                jnp.asarray(cand_flows), jnp.asarray(occl),
-                jnp.asarray(forward), jnp.asarray(data),
-                jnp.asarray(data_dx), jnp.asarray(data_dy), pen_d, ep,
-                occ_masks)) + weight_jet[cand_jet]              # [h, w, G]
-
-            # distances: candidates vs bank slots and vs earlier candidates
-            d_bank = np.asarray(trajectory_distance(
-                jnp.asarray(cand_flows)[:, :, :, None],
-                jnp.asarray(bank.flows)[:, :, None],
-                cfg.traj_sim_method))                           # [h, w, G, K]
-            d_cand = np.asarray(trajectory_distance(
-                jnp.asarray(cand_flows)[:, :, :, None],
-                jnp.asarray(cand_flows)[:, :, None],
-                cfg.traj_sim_method))                           # [h, w, G, G]
+                jnp.asarray(cand_flows), jnp.asarray(bank.flows))
+            occl = np.asarray(occl_d)                           # [h, w, G, J+1]
+            energy = np.asarray(energy_d) + weight_jet[cand_jet]  # [h, w, G]
+            d_bank = np.asarray(d_bank_d)                       # [h, w, G, K]
+            d_cand = np.asarray(d_cand_d)                       # [h, w, G, G]
 
             # sequential insertion semantics on the host (cheap bit-ops)
             inserted_prev = {}
