@@ -461,6 +461,12 @@ def solve_binary_potts(e0, e1, alpha, iterations: int, init=None):
     mincut for 2 labels); red-black ICM converges to a strong local optimum
     of the same energy with data costs (e0, e1) and pairwise cost
     alpha * [l_p != l_q], and is embarrassingly parallel on TPU.
+
+    ICM runs from three starts — the data-cost argmin and the two constant
+    labelings — and returns the lowest-energy fixed point: with strong
+    coupling a single synchronous-sweep start can land above even a constant
+    labeling (measured), while the multi-start is a strict improvement at
+    negligible cost (the occlusion step is ~3% of an outer iteration).
     Returns labels in {0, 1} as float32.
     """
     h, w = e0.shape
@@ -496,9 +502,23 @@ def solve_binary_potts(e0, e1, alpha, iterations: int, init=None):
         _, it, changed = carry
         return (it < iterations) & changed
 
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.int32(0),
-                                                jnp.bool_(True)))
-    return lab
+    def run_icm(lab0):
+        out, _, _ = jax.lax.while_loop(cond, body, (lab0, jnp.int32(0),
+                                                    jnp.bool_(True)))
+        return out
+
+    def energy(l):
+        both = jnp.where(l > 0.5, e1, e0).sum()
+        pw = (jnp.abs(l[:, 1:] - l[:, :-1]).sum()
+              + jnp.abs(l[1:, :] - l[:-1, :]).sum())
+        return both + alpha * pw
+
+    if init is not None:
+        return run_icm(lab)
+    cands = [run_icm(lab), run_icm(jnp.zeros_like(lab)),
+             run_icm(jnp.ones_like(lab))]
+    energies = jnp.stack([energy(l) for l in cands])
+    return jnp.stack(cands)[jnp.argmin(energies)]
 
 
 # --------------------------------------------------------------------------

@@ -101,3 +101,56 @@ def test_unrolled_vs_vmapped_batch_equivalence():
     np.testing.assert_allclose(np.asarray(wx_u), np.asarray(wx_v), atol=5e-4)
     np.testing.assert_allclose(np.asarray(wy_u), np.asarray(wy_v), atol=5e-4)
     assert (np.asarray(occ_u) != np.asarray(occ_v)).mean() < 0.01
+
+
+def _potts_energy(lab, e0, e1, alpha):
+    lab = lab.astype(bool)
+    e = np.where(lab, e1, e0).sum()
+    e += alpha * (lab[:, 1:] != lab[:, :-1]).sum()
+    e += alpha * (lab[1:, :] != lab[:-1, :]).sum()
+    return float(e)
+
+
+def test_icm_potts_vs_global_optimum():
+    """The reference solves the binary occlusion MRF exactly (one graph-cut,
+    variational_aux_mt.cpp:758-887); red-black ICM must land at (or within a
+    hair of) the same global energy in the data-dominated regime the solver
+    runs in (occlusion_alpha = 0.1 vs O(1) data costs)."""
+    from itertools import product
+    from slowflow_tpu.variational.multiframe import solve_binary_potts
+
+    rng = np.random.default_rng(0)
+    h, w = 4, 4
+    worst = 0.0
+    for trial in range(20):
+        e0 = rng.random((h, w)).astype(np.float32)
+        e1 = rng.random((h, w)).astype(np.float32)
+        alpha = 0.1
+        lab = np.asarray(solve_binary_potts(jnp.asarray(e0), jnp.asarray(e1),
+                                            alpha, 10))
+        e_icm = _potts_energy(lab, e0, e1, alpha)
+        best = min(_potts_energy(np.array(bits, np.float32).reshape(h, w),
+                                 e0, e1, alpha)
+                   for bits in product((0, 1), repeat=h * w))
+        assert e_icm >= best - 1e-4
+        worst = max(worst, (e_icm - best) / abs(best))
+    # ICM lands within 2% of the global optimum in this regime
+    assert worst < 0.02, worst
+
+
+def test_icm_potts_smooth_regime_quality():
+    """With strong smoothness the local optimum may differ from global; it
+    must still not be worse than both trivial labelings (all-0 / all-1)."""
+    from slowflow_tpu.variational.multiframe import solve_binary_potts
+
+    rng = np.random.default_rng(1)
+    h, w = 24, 28
+    e0 = rng.random((h, w)).astype(np.float32)
+    e1 = rng.random((h, w)).astype(np.float32)
+    alpha = 2.0
+    lab = np.asarray(solve_binary_potts(jnp.asarray(e0), jnp.asarray(e1),
+                                        alpha, 20))
+    e_icm = _potts_energy(lab, e0, e1, alpha)
+    e_all0 = _potts_energy(np.zeros((h, w)), e0, e1, alpha)
+    e_all1 = _potts_energy(np.ones((h, w)), e0, e1, alpha)
+    assert e_icm <= min(e_all0, e_all1) + 1e-4
