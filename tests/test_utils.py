@@ -115,3 +115,22 @@ def test_epicflow_cli(tmp_path, rng):
     inner = (slice(10, -10), slice(10, -10))
     err = np.hypot(flow[inner][..., 0] - 1.0, flow[inner][..., 1])
     assert err.mean() < 0.4, err.mean()
+
+
+def test_epicflow_preset_parity():
+    """Preset constants match epicflow.cpp:86-115 exactly (the -kitti preset
+    shares the sintel EPIC parameters in the reference too)."""
+    from slowflow_tpu.epic import EpicParams
+    from slowflow_tpu.variational import TwoFrameParams
+
+    e = EpicParams.sintel()
+    assert (e.pref_nn, e.nn, e.coef_kernel) == (25, 160, 1.1)
+    s = TwoFrameParams.sintel()
+    assert (s.alpha, s.gamma, s.delta, s.sigma, s.niter_outer) == \
+        (1.0, 0.72, 0.0, 1.1, 5)
+    k = TwoFrameParams.kitti()
+    assert (k.alpha, k.gamma, k.delta, k.sigma, k.niter_outer) == \
+        (1.0, 0.77, 0.0, 1.7, 2)
+    m = TwoFrameParams.middlebury()
+    assert (m.alpha, m.gamma, m.delta, m.sigma, m.niter_outer) == \
+        (1.0, 0.72, 0.0, 1.1, 25)
