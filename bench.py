@@ -68,7 +68,7 @@ def _moving_sequence(f, h, w, u, v, seed=0):
     return np.stack(frames)
 
 
-def tpu_jets_per_sec(batch, h, w, p, repeats=5):
+def tpu_jets_per_sec(batch, h, w, p, repeats=7):
     import jax
 
     from slowflow_tpu.variational.multiframe import variational_mt_batched
