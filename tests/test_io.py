@@ -78,3 +78,25 @@ def test_image_roundtrip_16bit(tmp_path, rng):
     write_image(p, img.astype(np.float32), bit16=True)
     out = read_image(p)
     np.testing.assert_array_equal(out, img.astype(np.float32))
+
+
+def test_flo_error_paths(tmp_path):
+    """Corrupt/truncated .flo files fail loudly with the file named
+    (io.c:78-96 magic check semantics)."""
+    import pytest
+    from slowflow_tpu.io import read_flo, write_flo
+
+    bad = tmp_path / "bad.flo"
+    bad.write_bytes(b"\x00\x01\x02\x03" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="not a .flo"):
+        read_flo(bad)
+
+    trunc = tmp_path / "trunc.flo"
+    write_flo(trunc, np.zeros((8, 10, 2), np.float32))
+    data = trunc.read_bytes()
+    trunc.write_bytes(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        read_flo(trunc)
+
+    with pytest.raises(FileNotFoundError):
+        read_flo(tmp_path / "missing.flo")
