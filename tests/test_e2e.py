@@ -205,3 +205,45 @@ def test_dense_tracking_with_jet_occlusions(pipeline):
     inner = (slice(12, -12), slice(12, -12))
     err = np.hypot(flow[inner][..., 0] - 2 * U, flow[inner][..., 1] - 2 * V)
     assert err.mean() < 0.6, err.mean()
+
+
+def test_dense_tracking_select_and_resume(pipeline):
+    """-select N runs exactly one final pair (dense_tracking.cpp:464-466);
+    -resume skips existing outputs."""
+    tmp_path, seq_dir = pipeline
+    from slowflow_tpu.cli.dense_tracking import main
+
+    cfg = tmp_path / "dense_tracking_sel.cfg"
+    cfg.write_text(textwrap.dedent(f"""\
+    file\t{seq_dir}/frame_%03i.png
+    jet_estimation\t{tmp_path}/sf_out/
+    flow_format\tframe_%03i
+    output\t{tmp_path}/dt_sel_out
+    start\t{START}
+    max_fps\t40
+    ref_fps\t20
+    ref_fps_F\t3
+    16bit\t0
+    raw\t0
+    scale\t1.0
+    acc_skip_pixel\t0
+    acc_occlusion\t0
+    acc_epic_interpolation\t1
+    acc_alternate\t1
+    acc_trws_max_iter\t3
+    acc_neigh_hyp\t2
+    acc_hyp_neigh_tryouts\t4
+    seed\t3
+    """))
+    rc = main([str(cfg), "-select", "0"])
+    assert rc == 0
+    out = tmp_path / "dt_sel_out"
+    assert (out / f"frame_{START:03d}.flo").exists()
+    # only pair 0 was selected: no outputs for later pairs
+    assert not (out / f"frame_{START + 2:03d}.flo").exists()
+
+    # -resume run skips the already-done pair without rewriting it
+    mtime = (out / f"frame_{START:03d}.flo").stat().st_mtime_ns
+    rc = main([str(cfg), "-select", "0", "-resume"])
+    assert rc == 0
+    assert (out / f"frame_{START:03d}.flo").stat().st_mtime_ns == mtime
