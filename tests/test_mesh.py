@@ -1,0 +1,74 @@
+"""Multi-device mesh tests: jet DP and sp spatial sharding execute and agree
+with the single-device result. Runs on the virtual 8-device CPU mesh forced
+by conftest.py (skips when unavailable)."""
+import jax
+import numpy as np
+import pytest
+
+from slowflow_tpu.parallel.mesh import make_mesh, sharded_jet_step
+from slowflow_tpu.variational.multiframe import (
+    MultiFrameParams, compute_one_level)
+
+
+def _inputs(b, s, h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    f = 2 * (s - 1) + 1
+    seq = rng.random((b, f, 3, h, w)).astype(np.float32) * 255.0
+    wx = np.zeros((b, h, w), np.float32)
+    wy = np.zeros((b, h, w), np.float32)
+    cw = np.ones((b, 3, h, w), np.float32)
+    na = np.zeros((b, 3), np.float32)
+    ns = np.ones((b, 3), np.float32)
+    return wx, wy, seq, cw, na, ns
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_spatial_sharding_matches_unsharded():
+    """compute_one_level under a jet×sp mesh (n_sp=2, real halo exchange)
+    must produce the same flow as the unsharded single-device run."""
+    from functools import partial
+
+    n = len(jax.devices())
+    n_sp = 2
+    n_jet = n // n_sp
+    mesh = make_mesh(n_jet=n_jet, n_sp=n_sp)
+
+    p = MultiFrameParams(S=2, rho=(1.0,), omega=(1.0,), layers=1,
+                         niter_alter=2, niter_outer=2, niter_inner=1,
+                         niter_solver=4, occlusion_reasoning=True)
+    b, h, w = n_jet, 32, 40
+    args = _inputs(b, 2, h, w)
+
+    ref_fn = jax.jit(jax.vmap(partial(compute_one_level, p=p)))
+    ref = ref_fn(*args)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    with mesh:
+        step = sharded_jet_step(mesh, p, spatial_shard=True)
+        wx, wy, seq, cw, na, ns = args
+        put = jax.device_put
+        sharded = (
+            put(wx, NamedSharding(mesh, P("jet", "sp", None))),
+            put(wy, NamedSharding(mesh, P("jet", "sp", None))),
+            put(seq, NamedSharding(mesh, P("jet", None, None, "sp", None))),
+            put(cw, NamedSharding(mesh, P("jet", None, "sp", None))),
+            put(na, NamedSharding(mesh, P("jet", None))),
+            put(ns, NamedSharding(mesh, P("jet", None))),
+        )
+        out = step(*sharded)
+        out = jax.tree_util.tree_map(np.asarray, out)
+
+    for a, b_ in zip(ref[:2], out[:2]):
+        np.testing.assert_allclose(np.asarray(a), b_, rtol=0, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_dryrun_multichip_inprocess():
+    """The driver's dry run body executes directly when enough devices are
+    live (the subprocess bootstrap path is exercised by the driver itself)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+    g._dryrun_body(len(jax.devices()))
