@@ -1,9 +1,11 @@
 """Native (C++) host-side components with lazy compilation and Python fallback.
 
-The compute path of the framework is JAX/XLA/Pallas; these kernels cover the
-truly sequential host-side pieces (per-seed Dijkstra over the seed-adjacency
-graph, the sweep-based distance-transform oracle) that the reference also runs
-on the CPU.
+The compute path of the framework is JAX/XLA/Pallas; this module covers the
+truly sequential host-side piece — the per-seed k-NN search over the tiny
+seed-adjacency graph (a settled-array Dijkstra, written independently;
+fulfils the role of epic_aux.cpp:44-87). The sequential sweep
+distance-transform oracle lives in tests/ (tests/dt_oracle.py): it exists
+only to validate the TPU min-plus fixpoint and is not a production path.
 """
 from __future__ import annotations
 
@@ -67,13 +69,6 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int32, flags="C"),
             np.ctypeslib.ndpointer(np.float32, flags="C"),
         ]
-        lib.geodesic_dt_sweeps.restype = ctypes.c_float
-        lib.geodesic_dt_sweeps.argtypes = [
-            np.ctypeslib.ndpointer(np.float32, flags="C"),
-            np.ctypeslib.ndpointer(np.float32, flags="C"),
-            np.ctypeslib.ndpointer(np.int32, flags="C"),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
-        ]
         _lib = lib
         return _lib
 
@@ -99,82 +94,30 @@ def knn_graph_all(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
 
 
 def _knn_python(indptr, indices, data, nmax, best, dist):
+    """Settled-array Dijkstra with lazy deletion (same as the C++ path)."""
     import heapq
 
     ns = len(indptr) - 1
-    for seed in range(ns):
-        done = np.full(ns, np.inf, np.float64)
-        heap = [(0.0, seed)]
-        done[seed] = 0.0
-        n = 0
-        while heap:
-            d, node = heapq.heappop(heap)
-            if d > done[node]:
+    for src in range(ns):
+        tentative = np.full(ns, np.inf, np.float64)
+        settled = np.zeros(ns, bool)
+        pq = [(0.0, src)]
+        tentative[src] = 0.0
+        found = 0
+        while found < nmax and pq:
+            d, u = heapq.heappop(pq)
+            if settled[u]:
                 continue
-            best[seed, n] = node
-            dist[seed, n] = d
-            n += 1
-            if n >= nmax:
-                break
-            for i in range(indptr[node], indptr[node + 1]):
-                neigh = indices[i]
-                nd = d + data[i]
-                if nd >= done[neigh]:
-                    continue
-                done[neigh] = nd
-                heapq.heappush(heap, (nd, neigh))
-        best[seed, n:] = -1
-        dist[seed, n:] = np.inf
+            settled[u] = True
+            best[src, found] = u
+            dist[src, found] = d
+            found += 1
+            for e in range(indptr[u], indptr[u + 1]):
+                v = indices[e]
+                cand = d + data[e]
+                if not settled[v] and cand < tentative[v]:
+                    tentative[v] = cand
+                    heapq.heappush(pq, (cand, v))
+        best[src, found:] = -1
+        dist[src, found:] = np.inf
     return best, dist
-
-
-def dt_sweeps_oracle(cost: np.ndarray, dmap: np.ndarray, labels: np.ndarray,
-                     max_iter: int = 40, min_change: float = 1.0):
-    """Sequential sweep distance transform (reference semantics). In-place on
-    dmap/labels. Used as a CPU oracle/fallback."""
-    cost = np.ascontiguousarray(cost, np.float32)
-    dmap_c = np.ascontiguousarray(dmap, np.float32)
-    labels_c = np.ascontiguousarray(labels, np.int32)
-    ty, tx = cost.shape
-    lib = get_lib()
-    if lib is not None:
-        lib.geodesic_dt_sweeps(cost, dmap_c, labels_c, tx, ty, max_iter,
-                               min_change)
-        return dmap_c, labels_c
-    return _dt_python(cost, dmap_c, labels_c, max_iter, min_change)
-
-
-def _dt_python(cost, dmap, labels, max_iter, min_change):
-    xs = [-1, 1, 1, -1]
-    ys = [1, 1, -1, -1]
-    ty, tx = cost.shape
-    i, end_iter = 0, 4
-    while i < end_iter:
-        i += 1
-        sx, sy = xs[i % 4], ys[i % 4]
-        max_diff = 0.0
-        yr = range(0, ty) if sy > 0 else range(ty - 1, -1, -1)
-        xr = range(0, tx) if sx > 0 else range(tx - 1, -1, -1)
-        by = 0 if sy > 0 else ty - 1
-        bx = 0 if sx > 0 else tx - 1
-        for j in yr:
-            for x in xr:
-                t1, l1 = (np.inf, -1) if j == by else (dmap[j - sy, x], labels[j - sy, x])
-                t2, l2 = (np.inf, -1) if x == bx else (dmap[j, x - sx], labels[j, x - sx])
-                dt12 = abs(t1 - t2) if np.isfinite(t1) or np.isfinite(t2) else np.inf
-                C = cost[j, x]
-                if dt12 > C:
-                    if t1 < t2:
-                        t0, l0 = t1 + C, l1
-                    else:
-                        t0, l0 = t2 + C, l2
-                else:
-                    t0 = 0.5 * (t1 + t2 + np.sqrt(2 * C * C - dt12 * dt12))
-                    l0 = l1 if t1 < t2 else l2
-                if t0 < dmap[j, x]:
-                    max_diff = max(max_diff, dmap[j, x] - t0)
-                    dmap[j, x] = t0
-                    labels[j, x] = l0
-        if max_diff > min_change:
-            end_iter = min(max_iter, i + 3)
-    return dmap, labels

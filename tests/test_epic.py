@@ -3,7 +3,8 @@ import jax.numpy as jnp
 
 from slowflow_tpu.epic import EpicParams, epic, distance_transform, dist_trf_nnfield
 from slowflow_tpu.epic.distance import BIG, seed_graph
-from slowflow_tpu.native import dt_sweeps_oracle, knn_graph_all
+from slowflow_tpu.native import knn_graph_all
+from dt_oracle import dt_sweeps_oracle
 
 
 def test_distance_transform_uniform_cost():
