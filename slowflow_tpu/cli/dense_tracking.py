@@ -125,7 +125,8 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
     scale = params.parameter("scale", "1.0", float)
     red_loc = params.split_parameter("raw_red_loc", "0,0")
     grayscale = params.parameter("grayscale", "0", bool)
-    timing = dict(unary=0.0, pairwise=0.0, optimization=0.0)
+    timing = dict(warp=0.0, median=0.0, data=0.0,
+                  unary=0.0, pairwise=0.0, optimization=0.0)
 
     stats = {"variables": [], "factors": []}
     for start_jet in range(selected, selected_end):
@@ -275,26 +276,36 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
             data_hw, dx_hw, dy_hw, sw, weight_jet, epic_ctx,
             verbose=tp.verbosity(Verbosity.VER_CMD))
 
-        stats["variables"].append(info.get("variables", 0))
+        stats["variables"].extend(info.get("variables", []))
         stats["factors"].extend(info.get("factors", []))
+        for k, v in info.get("timing", {}).items():
+            timing[k] = timing.get(k, 0.0) + v
         write_flo(final_file, flow)
         write_pbm(acc_folder + f"occlusions/frame_{tp.sequence_start}.pbm",
                   occ_map)
         vis = flow_color_img(flow[..., 0], flow[..., 1])
         write_image(os.path.splitext(final_file)[0] + "_vis.png", vis)
-        timing["optimization"] += time.time() - t_start
         print(f"Final pair {start_jet} done "
               f"({time.time() - t_start:.1f}s) -> {final_file}")
 
+    # phase breakdown in the reference's exact row format
+    # (dense_tracking.cpp:1951-1964); the per-alternation Variables/Factors
+    # streams are tab-prefixed per entry like numVariablesStream/
+    # factorsStream (:1868-1869)
     with open(acc_folder + "result.info", "w") as fh:
         fh.write("# Discrete optimization file\n\n")
+        fh.write(f"Warping took {timing['warp']:g}s.\n")
+        fh.write(f"Median took {timing['median']:g}s.\n")
+        fh.write(f"Data term computation took {timing['data']:g}s.\n")
+        fh.write(f"Adding unary potentials took {timing['unary']:g}s.\n")
+        fh.write(f"Adding pairwise potentials took {timing['pairwise']:g}s.\n")
         fh.write(f"Run discrete optimization took "
-                 f"{timing['optimization']:.1f}s.\n\n")
+                 f"{timing['optimization']:g}s.\n\n")
         fh.write("Discrete Optimization:\n")
-        fh.write("\tVariables:\t"
-                 + "\t".join(str(v) for v in stats["variables"]) + "\n")
-        fh.write("\tFactors:\t"
-                 + "\t".join(str(f) for f in stats["factors"]) + "\n\n")
+        fh.write("\tVariables:"
+                 + "".join(f"\t{v}" for v in stats["variables"]) + "\n")
+        fh.write("\tFactors:"
+                 + "".join(f"\t{f}" for f in stats["factors"]) + "\n\n")
     print("Done!")
     return 0
 

@@ -205,11 +205,21 @@ class HypothesisBank:
 
 def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
                              forward, backward, occlusions,
-                             data, data_dx, data_dy, weight_jet, epic_ctx):
+                             data, data_dx, data_dy, weight_jet, epic_ctx,
+                             timing=None):
     occ_masks = jnp_occ(occlusions)
     """Hypothesis generation from each jet estimation
-    (dense_tracking.cpp:1098-1360). Returns consistent mask [h, w]."""
+    (dense_tracking.cpp:1098-1360). Returns consistent mask [h, w].
+    `timing` (optional dict) accumulates "warp" (accumulation) and "data"
+    (energy evaluation) seconds, mirroring dt_warp_time/dt_sum_time
+    (dense_tracking.cpp:305,336)."""
+    import time as _time
+
     import jax.numpy as jnp
+
+    timing = timing if timing is not None else {}
+    timing.setdefault("warp", 0.0)
+    timing.setdefault("data", 0.0)
 
     pen_d = make_penalty(cfg.penalty_fct_data, cfg.penalty_fct_data_eps)
     ep = cfg.energy_params()
@@ -224,11 +234,13 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
 
     for r, (r_fwd, r_bwd, r_occ) in enumerate(rate_flows):
         r_jets = r_fwd.shape[0]
+        t0 = _time.time()
         acc, tracked = accumulate_consistent_batches(
             r_fwd, r_bwd, r_occ, cfg.consistency_threshold, cfg.skip_pixel,
             cfg.discard_inconsistent)
         acc = np.asarray(acc)          # [r_jets, h, w, 2]
         tracked = np.asarray(tracked)
+        timing["warp"] += _time.time() - t0
 
         fully = tracked == r_jets
         consistent |= fully
@@ -236,6 +248,7 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
         flows_r = np.moveaxis(acc, 0, 2)            # [h, w, r_jets, 2]
         flows = adapt_fps(flows_r, cfg.jets)        # [h, w, J, 2]
 
+        t0 = _time.time()
         occl = np.asarray(set_occlusions(
             jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
             jnp.asarray(flows)[:, :, None], jnp.asarray(forward),
@@ -248,6 +261,7 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
             jnp.asarray(forward), jnp.asarray(data), jnp.asarray(data_dx),
             jnp.asarray(data_dy), pen_d, ep,
             occ_masks))[:, :, 0] + weight_jet[r]
+        timing["data"] += _time.time() - t0
 
         bank.insert(flows, occl, energy, r, fully)
 
@@ -451,6 +465,9 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
     smooth_weight: [H, W].
     Returns (flow [h, w, 2], occlusion_map [h, w] uint8, info dict).
     """
+    import time as _time
+
+    import jax
     import jax.numpy as jnp
 
     if weight_jet is None:
@@ -462,10 +479,16 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
     h = int(np.floor(oh / xy_incr))
     w = int(np.floor(ow / xy_incr))
 
+    # per-phase accumulators matching the reference's result.info rows
+    # (dense_tracking.cpp:1951-1964); "median" exists in the reference but
+    # is never incremented there either (dt_med_time, :235,1371)
+    timing = {"warp": 0.0, "median": 0.0, "data": 0.0,
+              "unary": 0.0, "pairwise": 0.0, "optimization": 0.0}
+
     bank = HypothesisBank(h, w, cfg.capacity, J)
     consistent = build_initial_hypotheses(
         bank, cfg, rate_flows, forward, backward, occlusions,
-        data, data_dx, data_dy, weight_jet, epic_ctx)
+        data, data_dx, data_dy, weight_jet, epic_ctx, timing)
 
     # guarantee at least one hypothesis everywhere: zero-flow outlier
     none_valid = ~bank.valid.any(-1)
@@ -477,7 +500,7 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
         bank.insert(zero_flow, occl, energy, 0, none_valid)
 
     selected = None
-    info = {"variables": h * w, "factors": []}
+    info = {"variables": [], "factors": [], "timing": timing}
     for p_it in range(cfg.alternate):
         if p_it == 0:
             bank.sort_by_energy()
@@ -490,15 +513,27 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
                             occlusions)
         bank.nms(cfg.traj_sim_method, cfg.traj_sim_thres)
 
-        unary = np.where(bank.valid, bank.energy, BIG).astype(np.float32)
+        t0 = _time.time()
+        unary = jnp.asarray(
+            np.where(bank.valid, bank.energy, BIG).astype(np.float32))
+        jax.block_until_ready(unary)
+        timing["unary"] += _time.time() - t0
+
+        t0 = _time.time()
         safe_flows = np.where(bank.valid[..., None, None], bank.flows, 0.0)
         cost_r, cost_d = pairwise_costs(
             safe_flows, bank.occl, smooth_weight, cfg.acc_beta,
             cfg.acc_spatial_occ, cfg.traj_sim_method, xy_incr, xy_start)
+        jax.block_until_ready((cost_r, cost_d))
+        timing["pairwise"] += _time.time() - t0
+
+        t0 = _time.time()
         labels, energy, lb = solve_multilabel(
-            jnp.asarray(unary), cost_r, cost_d, iters=cfg.trws_max_iter,
-            approach=cfg.approach)
+            unary, cost_r, cost_d, iters=cfg.trws_max_iter,
+            approach=cfg.approach, eps=cfg.trws_eps)
         selected = np.asarray(labels)
+        timing["optimization"] += _time.time() - t0
+        info["variables"].append(h * w)
         info["factors"].append(int(2 * h * w - h - w + h * w))
         if verbose:
             print(f"  alternate {p_it}: energy={float(energy):.1f} "

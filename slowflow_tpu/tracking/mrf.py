@@ -65,7 +65,7 @@ def solve_multilabel(unary, cost_r, cost_d, iters: int = 10,
         m_from_l, m_from_r, m_from_u, m_from_d = msgs
         return unary + rho * (m_from_l + m_from_r + m_from_u + m_from_d)
 
-    def iteration(_, msgs):
+    def iteration(msgs):
         m_from_l, m_from_r, m_from_u, m_from_d = msgs
         b = beliefs(msgs)
 
@@ -89,8 +89,31 @@ def solve_multilabel(unary, cost_r, cost_d, iters: int = 10,
         m_from_d = mix(m_from_d, _shift(new_to_u, 1, 0))
         return m_from_l, m_from_r, m_from_u, m_from_d
 
-    msgs = jax.lax.fori_loop(
-        0, iters, iteration, (m_from_l, m_from_r, m_from_u, m_from_d))
+    def bound(msgs):
+        return jnp.min(beliefs(msgs), axis=-1).sum()
+
+    msgs0 = (m_from_l, m_from_r, m_from_u, m_from_d)
+    if approach == 0:
+        # TRW-S stopping semantics (dense_tracking.cpp:660-661 feeding
+        # MRFEnergy options): iterate until the lower-bound improvement per
+        # iteration falls below acc_trws_eps, capped at acc_trws_max_iter.
+        # The synchronous bound proxy is not guaranteed monotone, so the
+        # check uses the absolute change.
+        def w_cond(c):
+            msgs, it, delta = c
+            return (it < iters) & (delta >= eps)
+
+        def w_body(c):
+            msgs, it, _ = c
+            lb0 = bound(msgs)
+            new = iteration(msgs)
+            return new, it + 1, jnp.abs(bound(new) - lb0)
+
+        msgs, _, _ = jax.lax.while_loop(
+            w_cond, w_body, (msgs0, jnp.int32(0), jnp.float32(jnp.inf)))
+    else:
+        # the reference's Minimize_BP runs to m_iterMax regardless of eps
+        msgs = jax.lax.fori_loop(0, iters, lambda _, m: iteration(m), msgs0)
 
     b = beliefs(msgs)
     labels = jnp.argmin(b, axis=-1).astype(jnp.int32)

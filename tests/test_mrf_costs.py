@@ -62,3 +62,60 @@ def test_epicflow_cli_nw(tmp_path, rng):
     inner = (slice(10, -10), slice(10, -10))
     err = np.hypot(flow[inner][..., 0] - 1.0, flow[inner][..., 1])
     assert err.mean() < 0.4, err.mean()
+
+
+def test_trws_eps_early_exit(rng):
+    """acc_trws_eps semantics (dense_tracking.cpp:660,1816-1831): TRW stops
+    once the per-iteration lower-bound change drops below eps; a huge eps
+    stops after one iteration, a tiny eps runs to max_iter."""
+    import jax.numpy as jnp
+    from slowflow_tpu.tracking.mrf import solve_multilabel
+
+    h, w, K = 10, 12, 4
+    unary = rng.random((h, w, K)).astype(np.float32) * 5
+    potts = (1.0 - np.eye(K)).astype(np.float32) * 0.7
+    cost = np.tile(potts, (h, w, 1, 1)).astype(np.float32)
+
+    one_iter = solve_multilabel(jnp.asarray(unary), jnp.asarray(cost),
+                                jnp.asarray(cost.copy()), iters=1, approach=0,
+                                eps=0.0)
+    big_eps = solve_multilabel(jnp.asarray(unary), jnp.asarray(cost),
+                               jnp.asarray(cost.copy()), iters=30, approach=0,
+                               eps=1e9)
+    np.testing.assert_array_equal(np.asarray(one_iter[0]),
+                                  np.asarray(big_eps[0]))
+
+    full = solve_multilabel(jnp.asarray(unary), jnp.asarray(cost),
+                            jnp.asarray(cost.copy()), iters=30, approach=0,
+                            eps=0.0)
+    conv = solve_multilabel(jnp.asarray(unary), jnp.asarray(cost),
+                            jnp.asarray(cost.copy()), iters=30, approach=0,
+                            eps=1e-7)
+    # at convergence the eps-stopped run matches the full run's labeling
+    assert (np.asarray(full[0]) == np.asarray(conv[0])).mean() > 0.99
+
+
+def test_result_info_phase_breakdown(rng):
+    """track_final_pair reports the reference's per-phase timers and
+    per-alternation variable/factor streams (dense_tracking.cpp:1951-1964)."""
+    from slowflow_tpu.tracking.driver import TrackingConfig, track_final_pair
+
+    h, w, J = 16, 20, 2
+    cfg = TrackingConfig(jets=J, rates=1, alternate=2, capacity=4,
+                         neigh_hyp=1, hyp_neigh_tryouts=2, trws_max_iter=3)
+    fwd = rng.random((J, h, w, 2)).astype(np.float32) * 0.5
+    bwd = -fwd
+    data = rng.random((J + 1, h, w, 3)).astype(np.float32)
+    dx = np.zeros_like(data); dy = np.zeros_like(data)
+    sw = np.ones((h, w), np.float32)
+    flow, occ, info = track_final_pair(
+        cfg, [(fwd, bwd, None)], fwd, bwd, None, data, dx, dy, sw)
+    t = info["timing"]
+    for key in ("warp", "median", "data", "unary", "pairwise", "optimization"):
+        assert key in t
+    assert t["median"] == 0.0          # never incremented in the reference
+    assert t["warp"] > 0 and t["optimization"] > 0
+    # grid is subsampled by skip_pixel+1 (default 2): 8x10 variables
+    hh, ww = h // 2, w // 2
+    assert info["variables"] == [hh * ww] * cfg.alternate
+    assert len(info["factors"]) == cfg.alternate
