@@ -26,9 +26,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_CHUNK = 16   # output rows per one-hot block
+# Banded-block geometry: (rows, cols) per output block and the (x, y) halo
+# around each block's displacement window. The per-block lax.map iteration
+# carries a fixed overhead (dynamic_slice + one-hot build), so fewer/bigger
+# blocks win until the one-hot matmul FLOPs take over — tuned on the target
+# chip with tools/warp_tune.py.
+_CHUNK = 32   # output rows per one-hot block
 _COLS = 128   # output columns per banded block
-_BAND = 16    # halo around a block's displacement window
+_BAND = 16    # x-halo: window width = _COLS + 2*_BAND
+_BAND_Y = 8   # y-halo: window height = _CHUNK + 2*_BAND_Y
 
 
 def _coords(wx, wy, factor, h, w):
@@ -56,7 +62,7 @@ def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     """
     h, w = src.shape[-2], src.shape[-1]
     if banded is None:
-        banded = (h > _CHUNK + 2 * _BAND + 16) and (w > _COLS + 2 * _BAND + 16)
+        banded = (h > _CHUNK + 2 * _BAND_Y + 16) and (w > _COLS + 2 * _BAND + 16)
     if banded:
         out = _warp_banded(src, wx, wy, factor)
         if not with_mask:
@@ -118,7 +124,7 @@ def warp_bilinear(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
 
 
 def _warp_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
-                 factor: float):
+                 factor: float, block_cfg=None):
     """Windowed one-hot warp: per (row, column) output block, dynamic-slice a
     source window positioned at the block's minimum sample coordinate and
     contract the bilinear one-hots only against it."""
@@ -127,9 +133,11 @@ def _warp_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
     src2 = src.reshape((-1, h, w))
     c = src2.shape[0]
 
-    R, T, D = _CHUNK, _COLS, _BAND
-    wy_win = R + 2 * D
-    wx_win = T + 2 * D
+    R, T, D, Dy = block_cfg or (_CHUNK, _COLS, _BAND, _BAND_Y)
+    T = min(T, w)
+    R = min(R, h)
+    wy_win = min(R + 2 * Dy, h)
+    wx_win = min(T + 2 * D, w)
 
     x, y = _coords(wx, wy, factor, h, w)
     x0 = jnp.floor(x)
@@ -161,8 +169,12 @@ def _warp_banded(src: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray,
 
     def block_fn(a):
         bx0, bx1, bdx, by0, by1, bdy = a
-        off_x = jnp.clip(bx0.min() - D, 0, max(w - wx_win, 0))
-        off_y = jnp.clip(by0.min() - D, 0, max(h - wy_win, 0))
+        # anchor the window at the block's exact minimum sample coordinate:
+        # no rows/cols below min are ever sampled, so the whole halo budget
+        # covers displacement variation above it (allowance 2*D-1 in x,
+        # 2*Dy-1 in y instead of D-1/Dy-1 with a centered window)
+        off_x = jnp.clip(bx0.min(), 0, max(w - wx_win, 0))
+        off_y = jnp.clip(by0.min(), 0, max(h - wy_win, 0))
         win = jax.lax.dynamic_slice(
             src2, (0, off_y, off_x),
             (c, min(wy_win, h), min(wx_win, w)))
