@@ -56,8 +56,14 @@ def sharded_jet_step(mesh: Mesh, params, spatial_shard: bool = False):
     """
     from functools import partial
 
+    from dataclasses import replace
+
     from ..variational.multiframe import compute_one_level
 
+    # the pallas shift warp is not vmappable/shardable; the XLA banded warp
+    # partitions cleanly under pjit
+    if getattr(params, "warp_mode", "banded") != "banded":
+        params = replace(params, warp_mode="banded")
     fn = jax.vmap(partial(compute_one_level, p=params))
 
     def spec(*axes):

@@ -71,6 +71,10 @@ class MultiFrameParams:
     hbit: bool = False                      # 16-bit input
     pallas_sor: bool = False                # fused VMEM-resident SOR kernel
     pallas_warp: bool = False               # VMEM one-hot warp kernel
+    warp_mode: str = "shift"                # "shift" (small-motion Pallas
+                                            # kernel w/ banded fallback) or
+                                            # "banded"; vmapped/sharded jet
+                                            # batches force "banded"
     unroll_jets: bool = True                # unroll small jet batches (single
                                             # chip); MUST be False when the
                                             # batch axis is sharded over a
@@ -145,13 +149,19 @@ class MultiFrameParams:
 # --------------------------------------------------------------------------
 # derivative stacks
 # --------------------------------------------------------------------------
-def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False):
+def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False,
+                       warp_mode: str = "banded"):
     """Warp all 2*ref window frames and build derivative stacks
     (variational_mt.cpp:87-166).
 
     seq: [2*ref+1, 3, H, W]. Returns dict with successive fields
     (ix..iyz) and to-reference fields (ix_ref..iyz_ref), each
     [2*ref, 3, H, W], plus mask [2*ref, H, W].
+
+    warp_mode selects the warp backend: "shift" uses the small-motion
+    Pallas shift kernel with automatic banded fallback (core/warp_shift.py,
+    ~8x faster when jet motion is in the adaptive-frame-rate regime; NOT
+    vmappable — the unrolled jet path only), "banded" the XLA one-hot path.
     """
     n = 2 * ref
     # Warp every window frame once: frame k moves by factor (k - ref). The
@@ -166,12 +176,22 @@ def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False):
         from ..core.warp_pallas import warp_stack_pallas
 
         warped, masks = warp_stack_pallas(seq, wx, wy, factors)
+    elif warp_mode == "shift":
+        from ..core.warp_shift import warp_stack_auto
+
+        warped, masks = warp_stack_auto(
+            seq, wx, wy, ref, interpret=(jax.default_backend() == "cpu"))
     else:
         # unrolled over the (static) window size: vmap-of-the-banded-warp
         # batches its dynamic_slice windows into gathers and measured 2.2x
-        # slower than 2*ref+1 independent warps (bit-identical outputs)
-        pairs = [warp_bilinear(seq[k], wx, wy, factor=float(k - ref))
-                 for k in range(n + 1)]
+        # slower than 2*ref+1 independent warps (bit-identical outputs).
+        # Frame ref has factor 0: warping by zero displacement is the
+        # identity with an all-ones mask, so it costs nothing.
+        def one(k):
+            if k == ref:
+                return seq[k], jnp.ones(wx.shape, seq.dtype)
+            return warp_bilinear(seq[k], wx, wy, factor=float(k - ref))
+        pairs = [one(k) for k in range(n + 1)]
         warped = jnp.stack([o for o, _ in pairs])         # [2*ref+1, ...]
         masks = jnp.stack([m for _, m in pairs])
     w_a, m_a = warped[:n], masks[:n]                      # frame s
@@ -606,7 +626,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             derivs = jax.lax.cond(
                 cont,
                 lambda a: get_derivatives_mt(seq, a[0], a[1], ref,
-                                             p.pallas_warp),
+                                             p.pallas_warp, p.warp_mode),
                 lambda a: a[2],
                 (uu, vv, (succ, to_ref, mask)))
             return uu, vv, derivs, it + jnp.int32(1), change
@@ -621,7 +641,8 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
     def alter_body(carry):
         wx, wy, occ, it, _ = carry
-        derivs = get_derivatives_mt(seq, wx, wy, ref, p.pallas_warp)
+        derivs = get_derivatives_mt(seq, wx, wy, ref, p.pallas_warp,
+                                    p.warp_mode)
         occ_stable = jnp.bool_(True)
         if p.occlusion_reasoning and not p.one_direction:
             def occ_update(args):
@@ -710,7 +731,12 @@ def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
                                       na[i], ns[i], p=p) for i in range(b)]
             return tuple(jnp.stack(z) for z in zip(*outs))
     else:
-        level_fn = jax.vmap(partial(compute_one_level, p=p))
+        # vmapped (incl. sharded) jet batches cannot route through the
+        # pallas shift kernel (vmap of pallas_call stages the mapped axis
+        # into VMEM on this backend) — force the XLA banded warp
+        from dataclasses import replace as _replace
+        pv = _replace(p, warp_mode="banded") if p.warp_mode != "banded" else p
+        level_fn = jax.vmap(partial(compute_one_level, p=pv))
 
     L = len(sizes)
     if L > 1:
