@@ -226,30 +226,25 @@ def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 12),
     seq = jnp.asarray(seq, jnp.float32)
     f_all, c, h, w = seq.shape
     nz = [k for k in range(f_all) if k != ref]
-    factors_nz = jnp.asarray([float(k - ref) for k in nz], jnp.float32)
-    seq_nz = jnp.stack([seq[k] for k in nz])
 
-    sel, shift_branches = warp_stack_shift_parts(
-        seq_nz, wx, wy, factors_nz, kx_ks=kx_ks, r=r, interpret=interpret)
+    # per-frame variant selection: the +-1 offsets see half the displacement
+    # range of the +-2 ones, so they usually take the cheap small-K variant
+    # even when the outer frames need K=12 or the banded fallback
+    outs = {}
+    for k in nz:
+        fac = float(k - ref)
+        sel, branches = warp_stack_shift_parts(
+            seq[k][None], wx, wy, jnp.asarray([fac], jnp.float32),
+            kx_ks=kx_ks, r=r, interpret=interpret)
 
-    def banded(_):
-        return jnp.stack([
-            warp_bilinear(seq_nz[i], wx, wy, factor=float(k - ref),
-                          with_mask=False)[0]
-            for i, k in enumerate(nz)])
+        def banded(_, k=k, fac=fac):
+            return warp_bilinear(seq[k], wx, wy, factor=fac,
+                                 with_mask=False)[0][None]
 
-    warped_nz = jax.lax.switch(sel, shift_branches + [banded], None)
+        outs[k] = jax.lax.switch(sel, branches + [banded], None)[0]
 
-    # reassemble with the identity frame; masks for all frames
-    parts = []
-    j = 0
-    for k in range(f_all):
-        if k == ref:
-            parts.append(seq[k])
-        else:
-            parts.append(warped_nz[j])
-            j += 1
-    warped = jnp.stack(parts)
+    warped = jnp.stack([seq[k] if k == ref else outs[k]
+                        for k in range(f_all)])
 
     factors_all = (jnp.arange(f_all, dtype=jnp.float32) - ref)
     *_, inside = _coords(wx, wy, factors_all, h, w)

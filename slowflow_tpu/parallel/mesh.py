@@ -60,10 +60,11 @@ def sharded_jet_step(mesh: Mesh, params, spatial_shard: bool = False):
 
     from ..variational.multiframe import compute_one_level
 
-    # the pallas shift warp is not vmappable/shardable; the XLA banded warp
-    # partitions cleanly under pjit
-    if getattr(params, "warp_mode", "banded") != "banded":
-        params = replace(params, warp_mode="banded")
+    # the pallas shift-warp / fused-assembly kernels are not vmappable or
+    # shardable; the XLA banded path partitions cleanly under pjit
+    if getattr(params, "warp_mode", "banded") != "banded" \
+            or getattr(params, "fused_data", False):
+        params = replace(params, warp_mode="banded", fused_data=False)
     fn = jax.vmap(partial(compute_one_level, p=params))
 
     def spec(*axes):

@@ -75,6 +75,11 @@ class MultiFrameParams:
                                             # kernel w/ banded fallback) or
                                             # "banded"; vmapped/sharded jet
                                             # batches force "banded"
+    fused_data: bool = True                 # fuse derivative stacks + IRLS
+                                            # assembly + occlusion costs into
+                                            # one Pallas kernel (no HBM
+                                            # derivative planes); forced off
+                                            # for vmapped/sharded batches
     unroll_jets: bool = True                # unroll small jet batches (single
                                             # chip); MUST be False when the
                                             # batch axis is sharded over a
@@ -149,6 +154,48 @@ class MultiFrameParams:
 # --------------------------------------------------------------------------
 # derivative stacks
 # --------------------------------------------------------------------------
+def warp_window_frames(seq, wx, wy, ref: int, pallas_warp: bool = False,
+                       warp_mode: str = "banded"):
+    """Warp every window frame once by factor (k - ref). The reference warps
+    frames s and s+1 independently per offset (variational_mt.cpp:97-110),
+    but w_b[s] == w_a[s+1] — sharing halves the warp count. Frame ref has
+    factor 0: the identity with an all-ones mask, free.
+
+    Returns (warped [2*ref+1, 3, H, W], masks [2*ref+1, H, W])."""
+    n = 2 * ref
+    factors = jnp.arange(n + 1, dtype=wx.dtype) - ref
+
+    if pallas_warp:
+        # the frame axis is flattened into the pallas grid (vmap would stage
+        # it into VMEM blocks on this backend)
+        from ..core.warp_pallas import warp_stack_pallas
+
+        return warp_stack_pallas(seq, wx, wy, factors)
+    if warp_mode == "shift":
+        from ..core.warp_shift import warp_stack_auto
+
+        return warp_stack_auto(
+            seq, wx, wy, ref, interpret=(jax.default_backend() == "cpu"))
+    # unrolled over the (static) window size: vmap-of-the-banded-warp
+    # batches its dynamic_slice windows into gathers and measured 2.2x
+    # slower than 2*ref+1 independent warps (bit-identical outputs)
+    def one(k):
+        if k == ref:
+            return seq[k], jnp.ones(wx.shape, seq.dtype)
+        return warp_bilinear(seq[k], wx, wy, factor=float(k - ref))
+    pairs = [one(k) for k in range(n + 1)]
+    return (jnp.stack([o for o, _ in pairs]),
+            jnp.stack([m for _, m in pairs]))
+
+
+def succ_mask(masks, ref: int):
+    """Data-term validity per offset: past offsets use frame s's warp mask,
+    future ones frame s+1's (variational_mt.cpp:97-110)."""
+    n = 2 * ref
+    past = (jnp.arange(n) < ref)[:, None, None]
+    return jnp.where(past, masks[:n], masks[1:])
+
+
 def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False,
                        warp_mode: str = "banded"):
     """Warp all 2*ref window frames and build derivative stacks
@@ -164,36 +211,8 @@ def get_derivatives_mt(seq, wx, wy, ref: int, pallas_warp: bool = False,
     vmappable — the unrolled jet path only), "banded" the XLA one-hot path.
     """
     n = 2 * ref
-    # Warp every window frame once: frame k moves by factor (k - ref). The
-    # reference warps frames s and s+1 independently per offset
-    # (variational_mt.cpp:97-110), but w_b[s] == w_a[s+1] — sharing halves
-    # the warp count (the dominant cost on TPU).
-    factors = jnp.arange(n + 1, dtype=wx.dtype) - ref
-
-    if pallas_warp:
-        # the frame axis is flattened into the pallas grid (vmap would stage
-        # it into VMEM blocks on this backend)
-        from ..core.warp_pallas import warp_stack_pallas
-
-        warped, masks = warp_stack_pallas(seq, wx, wy, factors)
-    elif warp_mode == "shift":
-        from ..core.warp_shift import warp_stack_auto
-
-        warped, masks = warp_stack_auto(
-            seq, wx, wy, ref, interpret=(jax.default_backend() == "cpu"))
-    else:
-        # unrolled over the (static) window size: vmap-of-the-banded-warp
-        # batches its dynamic_slice windows into gathers and measured 2.2x
-        # slower than 2*ref+1 independent warps (bit-identical outputs).
-        # Frame ref has factor 0: warping by zero displacement is the
-        # identity with an all-ones mask, so it costs nothing.
-        def one(k):
-            if k == ref:
-                return seq[k], jnp.ones(wx.shape, seq.dtype)
-            return warp_bilinear(seq[k], wx, wy, factor=float(k - ref))
-        pairs = [one(k) for k in range(n + 1)]
-        warped = jnp.stack([o for o, _ in pairs])         # [2*ref+1, ...]
-        masks = jnp.stack([m for _, m in pairs])
+    warped, masks = warp_window_frames(seq, wx, wy, ref, pallas_warp,
+                                       warp_mode)
     w_a, m_a = warped[:n], masks[:n]                      # frame s
     w_b, m_b = warped[1:], masks[1:]                      # frame s+1
 
@@ -571,7 +590,52 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             gate = jnp.where(s < ref, 0.0, gate)
         return mask * gate
 
-    def inner_loop(wx0, wy0, uu, vv, mask, succ, to_ref):
+    # ---- derivative-state abstraction: the continuous solver only needs
+    # (1) a state recomputable from (wx, wy), (2) its validity mask, (3) the
+    # occlusion data costs, (4) the assembled normal equations. The fused
+    # path keeps only the warped frame stack as state and produces (3)/(4)
+    # with the pallas kernel in variational/fused_data.py — no derivative
+    # plane ever reaches HBM.
+    if p.fused_data and not p.pallas_warp:
+        from .fused_data import fused_data_system
+
+        interp = jax.default_backend() == "cpu"
+
+        def derive_state(wxc, wyc):
+            warped, masks = warp_window_frames(seq, wxc, wyc, ref,
+                                               p.pallas_warp, p.warp_mode)
+            return warped, succ_mask(masks, ref)
+
+        def state_mask(state):
+            return state[1]
+
+        def occ_costs_fn(state):
+            warped, mask = state
+            z = jnp.zeros_like(wx)
+            return fused_data_system(warped, mask, z, z, channel_w, p,
+                                     mode="occ", interpret=interp)
+
+        def data_terms_fn(state, du, dv, gated):
+            warped, _ = state
+            return fused_data_system(warped, gated, du, dv, channel_w, p,
+                                     mode="assembly", interpret=interp)
+    else:
+        def derive_state(wxc, wyc):
+            return get_derivatives_mt(seq, wxc, wyc, ref, p.pallas_warp,
+                                      p.warp_mode)
+
+        def state_mask(state):
+            return state[2]
+
+        def occ_costs_fn(state):
+            succ, to_ref, mask = state
+            return occlusion_data_costs(mask, succ, to_ref, p)
+
+        def data_terms_fn(state, du, dv, gated):
+            succ, to_ref, _ = state
+            return add_data_terms(du, dv, gated, succ, to_ref, channel_w, p)
+
+    def inner_loop(wx0, wy0, uu, vv, gated, state):
         du0 = jnp.zeros_like(wx0)
         dv0 = jnp.zeros_like(wy0)
 
@@ -583,8 +647,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             du, dv, uu, vv, it, _ = c
             wh, wv = compute_smoothness_mt(uu, vv, dpsis_weight, p.alpha,
                                            reg_pen, p.smoothing)
-            a11, a12, a22, b1, b2 = add_data_terms(du, dv, mask, succ, to_ref,
-                                                   channel_w, p)
+            a11, a12, a22, b1, b2 = data_terms_fn(state, du, dv, gated)
             b1 = sub_laplacian(b1, uu, wh, wv)
             b2 = sub_laplacian(b2, vv, wh, wv)
             if p.pallas_sor:
@@ -606,33 +669,32 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                          jnp.float32(jnp.inf)))
         return uu, vv
 
-    def outer_loop(wx, wy, occ, derivs):
+    def outer_loop(wx, wy, occ, state):
         """Derivatives are computed once per *executed* iteration (the
         alternation-top stacks serve iteration 0, matching the reference's
         reuse at variational_mt.cpp:266,289-290)."""
 
         def cond(c):
-            wx, wy, derivs, it, change = c
+            wx, wy, state, it, change = c
             return (it < p.niter_outer) & (change >= p.thres_outer)
 
         def body(c):
-            wx, wy, (succ, to_ref, mask), it, _ = c
-            gated = gate_masks(mask, occ)
-            uu, vv = inner_loop(wx, wy, wx, wy, gated, succ, to_ref)
+            wx, wy, state, it, _ = c
+            gated = gate_masks(state_mask(state), occ)
+            uu, vv = inner_loop(wx, wy, wx, wy, gated, state)
             change = jnp.maximum(jnp.abs(uu - wx).sum(),
                                  jnp.abs(vv - wy).sum()) / hw
             change = jnp.float32(change)
             cont = (it + 1 < p.niter_outer) & (change >= p.thres_outer)
-            derivs = jax.lax.cond(
+            state = jax.lax.cond(
                 cont,
-                lambda a: get_derivatives_mt(seq, a[0], a[1], ref,
-                                             p.pallas_warp, p.warp_mode),
+                lambda a: derive_state(a[0], a[1]),
                 lambda a: a[2],
-                (uu, vv, (succ, to_ref, mask)))
-            return uu, vv, derivs, it + jnp.int32(1), change
+                (uu, vv, state))
+            return uu, vv, state, it + jnp.int32(1), change
 
         wx, wy, _, _, change = jax.lax.while_loop(
-            cond, body, (wx, wy, derivs, jnp.int32(0), jnp.float32(jnp.inf)))
+            cond, body, (wx, wy, state, jnp.int32(0), jnp.float32(jnp.inf)))
         return wx, wy, change
 
     def alter_cond(carry):
@@ -641,22 +703,21 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
     def alter_body(carry):
         wx, wy, occ, it, _ = carry
-        derivs = get_derivatives_mt(seq, wx, wy, ref, p.pallas_warp,
-                                    p.warp_mode)
+        state = derive_state(wx, wy)
         occ_stable = jnp.bool_(True)
         if p.occlusion_reasoning and not p.one_direction:
             def occ_update(args):
-                (succ, to_ref, mask), occ = args
-                e0, e1 = occlusion_data_costs(mask, succ, to_ref, p)
+                state, occ = args
+                e0, e1 = occ_costs_fn(state)
                 lab = solve_binary_potts(e0, e1, p.occlusion_alpha,
                                          p.niter_graphc)
                 return 2.0 * lab - 1.0
 
             new_occ = jax.lax.cond(it > 0, occ_update, lambda a: a[1],
-                                   (derivs, occ))
+                                   (state, occ))
             occ_stable = (it > 0) & jnp.all(new_occ == occ)
             occ = new_occ
-        wx, wy, change = outer_loop(wx, wy, occ, derivs)
+        wx, wy, change = outer_loop(wx, wy, occ, state)
         # fixed-point exit: the reference runs all niter_alter alternations
         # unconditionally, but once the occlusion labels repeat and the
         # continuous solve moves below thres_outer, further alternations
@@ -721,7 +782,7 @@ def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
     cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
         if p.layers > 1 else [channel_w]
 
-    if p.unroll_jets and b <= 4:
+    if p.unroll_jets and b <= 16:
         # unroll small jet batches: vmap would (a) batch the banded warp's
         # dynamic_slice windows into gathers (2x slower warps) and (b) run
         # every convergence-gated while_loop to the slowest jet; unrolled,
@@ -732,10 +793,12 @@ def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
             return tuple(jnp.stack(z) for z in zip(*outs))
     else:
         # vmapped (incl. sharded) jet batches cannot route through the
-        # pallas shift kernel (vmap of pallas_call stages the mapped axis
-        # into VMEM on this backend) — force the XLA banded warp
+        # pallas kernels (vmap of pallas_call stages the mapped axis into
+        # VMEM on this backend) — force the XLA banded warp + XLA assembly
         from dataclasses import replace as _replace
-        pv = _replace(p, warp_mode="banded") if p.warp_mode != "banded" else p
+        pv = p
+        if p.warp_mode != "banded" or p.fused_data:
+            pv = _replace(p, warp_mode="banded", fused_data=False)
         level_fn = jax.vmap(partial(compute_one_level, p=pv))
 
     L = len(sizes)

@@ -36,7 +36,7 @@ def test_spatial_sharding_matches_unsharded():
     p = MultiFrameParams(S=2, rho=(1.0,), omega=(1.0,), layers=1,
                          niter_alter=2, niter_outer=2, niter_inner=1,
                          niter_solver=4, occlusion_reasoning=True,
-                         warp_mode="banded")
+                         warp_mode="banded", fused_data=False)
     b, h, w = n_jet, 32, 40
     args = _inputs(b, 2, h, w)
 
