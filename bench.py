@@ -144,9 +144,59 @@ def _cpu_baseline_once(h, w, p):
     return 1.0 / t_jet
 
 
+def dt_final_pair_seconds(h=270, w=480, jets=10, seed=0):
+    """Stage-3 dense tracking at the production shape (Jets=10, working
+    resolution, capacity 16, 5 alternations, 20 tryouts): seconds per final
+    frame pair and the recovered-flow error."""
+    import jax.numpy as jnp
+
+    from slowflow_tpu.core.conv import DERIV_5PT, conv_horiz, conv_vert
+    from slowflow_tpu.core.image import normalize_sequence
+    from slowflow_tpu.tracking.driver import TrackingConfig, track_final_pair
+
+    u, v = 1.5, -0.8
+    frames = _moving_sequence(jets + 1, h, w, u, v, seed=seed)
+    stack, avg, std = normalize_sequence(frames)
+    dx = np.asarray(conv_horiz(jnp.asarray(stack), DERIV_5PT))
+    dy = np.asarray(conv_vert(jnp.asarray(stack), DERIV_5PT))
+    data = np.moveaxis(stack, 1, -1)
+    data_dx = np.moveaxis(dx, 1, -1)
+    data_dy = np.moveaxis(dy, 1, -1)
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy, cx, r = h // 2, w // 2, min(h, w) // 6
+    fg = ((yy - cy) ** 2 + (xx - cx) ** 2) < r * r
+    fwd = np.zeros((jets, h, w, 2), np.float32)
+    fwd[..., 0] = np.where(fg, -u, u)
+    fwd[..., 1] = v
+    fwd += rng.normal(0, 0.08, fwd.shape).astype(np.float32)
+    bwd = (-fwd).astype(np.float32)
+    sw = np.full((h, w), 0.4, np.float32)
+
+    cfg = TrackingConfig(jets=jets, rates=1, skip_pixel=1, capacity=16,
+                         alternate=5, hyp_neigh_tryouts=20,
+                         epic_interpolation=False, seed=1)
+    rate_flows = [(fwd, bwd, None)]
+
+    def run():
+        t0 = time.perf_counter()
+        flow, occ, info = track_final_pair(cfg, rate_flows, fwd, bwd, None,
+                                           data, data_dx, data_dy, sw)
+        return time.perf_counter() - t0, flow
+
+    run()                      # compile + warmup
+    wall, flow = run()
+    gt = fwd.sum(0)[::2, ::2, 0] / 2
+    err = float(np.median(np.abs(flow[8:-8, 8:-8, 0] - gt[8:-8, 8:-8])))
+    return wall, err
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--no-dt", action="store_true",
+                    help="skip the dense-tracking stage metric")
     ap.add_argument("--height", type=int, default=270)
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--small", action="store_true",
@@ -175,7 +225,7 @@ def main():
     # loops vs NumPy temporaries (both single-threaded per jet).
     base_jps = cpu_baseline_jets_per_sec(h, w, p) * 5.0
 
-    print(json.dumps({
+    out = {
         "metric": "frame-pairs/sec per chip (1080p jets @ scale 0.25, S=3, "
                   "full slow_flow config)",
         "value": round(jps, 3),
@@ -185,7 +235,12 @@ def main():
         "flow_recovery_err_px": round(flow_err, 3),
         "batch": batch, "height": h, "width": w,
         "wall_s_per_batch": round(wall, 3),
-    }))
+    }
+    if not (args.no_dt or args.small):
+        dt_wall, dt_err = dt_final_pair_seconds()
+        out["dt_seconds_per_final_pair"] = round(dt_wall, 2)
+        out["dt_flow_err_px"] = round(dt_err, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -131,92 +131,162 @@ def jnp_occ(occlusions):
     return jnp.asarray(occlusions)
 
 
-class HypothesisBank:
-    """Fixed-capacity per-pixel hypothesis store with energy bookkeeping."""
-
-    def __init__(self, h, w, K, J):
-        self.h, self.w, self.K, self.J = h, w, K, J
-        self.flows = np.full((h, w, K, J, 2), UNKNOWN, np.float32)
-        self.occl = np.zeros((h, w, K, J + 1), np.int32)
-        self.energy = np.full((h, w, K), np.inf, np.float32)
-        self.valid = np.zeros((h, w, K), bool)
-        self.jet_est = np.zeros((h, w, K), np.int32)
-
-    def insert(self, flows, occl, energy, jet_est, mask):
-        """Insert one hypothesis per pixel into the first free slot.
-        flows [h, w, J, 2]; mask [h, w] selects pixels to insert at."""
-        free = ~self.valid                            # [h, w, K]
-        first_free = np.argmax(free, axis=-1)         # [h, w]
-        has_free = free.any(-1)
-        m = mask & has_free
-        ys, xs = np.nonzero(m)
-        ks = first_free[ys, xs]
-        self.flows[ys, xs, ks] = flows[ys, xs]
-        self.occl[ys, xs, ks] = occl[ys, xs]
-        self.energy[ys, xs, ks] = energy[ys, xs]
-        self.jet_est[ys, xs, ks] = jet_est if np.isscalar(jet_est) \
-            else jet_est[ys, xs]
-        self.valid[ys, xs, ks] = True
-        return int(m.sum())
-
-    def sort_by_energy(self, keep_first: np.ndarray | None = None):
-        """Ascending-energy sort per pixel. If keep_first is given ([h, w]
-        slot indices), that slot is moved to position 0 first
-        (dense_tracking.cpp:1384-1428)."""
-        e = np.where(self.valid, self.energy, np.inf).copy()
-        if keep_first is not None:
-            ys, xs = np.mgrid[0:self.h, 0:self.w]
-            sel = np.clip(keep_first, 0, self.K - 1)
-            e[ys, xs, sel] = -np.inf
-        order = np.argsort(e, axis=-1, kind="stable")
-        self._permute(order)
-
-    def _permute(self, order):
-        ys, xs = np.mgrid[0:self.h, 0:self.w]
-        ys = ys[..., None]
-        xs = xs[..., None]
-        self.flows = self.flows[ys, xs, order]
-        self.occl = self.occl[ys, xs, order]
-        self.energy = self.energy[ys, xs, order]
-        self.valid = self.valid[ys, xs, order]
-        self.jet_est = self.jet_est[ys, xs, order]
-
-    def truncate(self, n: int):
-        """Invalidate slots >= n."""
-        self.valid[..., n:] = False
-        self.energy[..., n:] = np.inf
-
-    def nms(self, method: int, thres: float):
-        """Greedy per-pixel non-maximum suppression by trajectory distance
-        (dense_tracking.cpp:1585-1637). Assumes slots sorted by priority."""
-        import jax.numpy as jnp
-
-        d = np.asarray(trajectory_distance(
-            jnp.asarray(self.flows)[:, :, :, None],
-            jnp.asarray(self.flows)[:, :, None, :], method))  # [h, w, K, K]
-        kept = np.zeros((self.h, self.w, self.K), bool)
-        kept[..., 0] = self.valid[..., 0]
-        for k in range(1, self.K):
-            close = (d[..., k, :k] < thres) & kept[..., :k]
-            kept[..., k] = self.valid[..., k] & ~close.any(-1)
-        self.valid &= kept
-        self.energy[~self.valid] = np.inf
+# --------------------------------------------------------------------------
+# device-resident hypothesis bank
+# --------------------------------------------------------------------------
+# The reference stores per-pixel vectors of heap-allocated `hypothesis`
+# objects (dense_tracking.cpp:690-724). The TPU bank is a pytree of fixed
+# [H, W, K, ...] tensors that lives on-device for the whole alternation:
+# insertion, energy sorting, NMS and proposal propagation are all jitted, so
+# one alternation costs a handful of dispatches and no bulk host<->device
+# transfer (the tunneled backend moves data at ~15 MB/s — round-tripping the
+# bank even once costs more than the whole device computation).
 
 
+def _new_bank(h, w, K, J):
+    import jax.numpy as jnp
+
+    return dict(
+        flows=jnp.full((h, w, K, J, 2), UNKNOWN, jnp.float32),
+        occl=jnp.zeros((h, w, K, J + 1), jnp.int32),
+        energy=jnp.full((h, w, K), jnp.inf, jnp.float32),
+        valid=jnp.zeros((h, w, K), bool),
+        jet_est=jnp.zeros((h, w, K), jnp.int32),
+    )
+
+
+def _bank_insert(bank, flows, occl, energy, jet_est, mask):
+    """Insert one hypothesis per pixel into the first free slot.
+    flows [h, w, J, 2]; mask [h, w]. Returns (bank, inserted [h, w])."""
+    import jax.numpy as jnp
+
+    K = bank["energy"].shape[-1]
+    free = ~bank["valid"]
+    first_free = jnp.argmax(free, axis=-1)                    # [h, w]
+    sel = ((jnp.arange(K) == first_free[..., None])
+           & (mask & free.any(-1))[..., None])                # [h, w, K]
+    jet = jnp.broadcast_to(jnp.asarray(jet_est, jnp.int32), mask.shape)
+    new = dict(
+        flows=jnp.where(sel[..., None, None], flows[:, :, None],
+                        bank["flows"]),
+        occl=jnp.where(sel[..., None], occl[:, :, None], bank["occl"]),
+        energy=jnp.where(sel, energy[..., None], bank["energy"]),
+        valid=bank["valid"] | sel,
+        jet_est=jnp.where(sel, jet[..., None], bank["jet_est"]),
+    )
+    return new, sel.any(-1)
+
+
+def _bank_permute(bank, order):
+    """Apply a per-pixel slot permutation via a one-hot contraction
+    (take_along_axis gathers measured 250x slower on this backend)."""
+    import jax.numpy as jnp
+
+    K = order.shape[-1]
+    perm = (order[..., None] == jnp.arange(K)).astype(jnp.float32)
+
+    def apply(a):
+        flat = a.reshape(a.shape[:3] + (-1,)).astype(jnp.float32)
+        # clamp +-inf sentinels: 0 * inf = NaN under the one-hot contraction
+        flat = jnp.clip(flat, -3.0e38, 3.0e38)
+        out = jnp.einsum("hwkj,hwjx->hwkx", perm, flat)
+        return out.reshape(a.shape[:3] + a.shape[3:])
+
+    return dict(
+        flows=apply(bank["flows"]),
+        occl=apply(bank["occl"][..., None])[..., 0].astype(jnp.int32),
+        energy=apply(bank["energy"][..., None])[..., 0],
+        valid=apply(bank["valid"][..., None].astype(jnp.float32))[..., 0] > 0.5,
+        jet_est=apply(bank["jet_est"][..., None])[..., 0].astype(jnp.int32),
+    )
+
+
+def _bank_sort(bank, keep_first=None):
+    """Ascending-energy sort per pixel; `keep_first` ([h, w] slot indices)
+    is pinned to position 0 first (dense_tracking.cpp:1384-1428)."""
+    import jax.numpy as jnp
+
+    K = bank["energy"].shape[-1]
+    e = jnp.where(bank["valid"], bank["energy"], jnp.inf)
+    if keep_first is not None:
+        sel = (jnp.arange(K) == jnp.clip(keep_first, 0, K - 1)[..., None])
+        e = jnp.where(sel, -jnp.inf, e)
+    order = jnp.argsort(e, axis=-1, stable=True)
+    return _bank_permute(bank, order)
+
+
+def _bank_truncate(bank, n: int):
+    import jax.numpy as jnp
+
+    K = bank["energy"].shape[-1]
+    keep = jnp.arange(K) < n
+    valid = bank["valid"] & keep
+    return dict(bank, valid=valid,
+                energy=jnp.where(valid, bank["energy"], jnp.inf))
+
+
+def _bank_nms(bank, method: int, thres: float):
+    """Greedy per-pixel non-maximum suppression by trajectory distance
+    (dense_tracking.cpp:1585-1637). Assumes slots sorted by priority."""
+    import jax.numpy as jnp
+
+    K = bank["energy"].shape[-1]
+    d = trajectory_distance(bank["flows"][:, :, :, None],
+                            bank["flows"][:, :, None, :], method)
+    kept = [bank["valid"][..., 0]]
+    for k in range(1, K):
+        close = (d[..., k, :k] < thres) & jnp.stack(kept, -1)
+        kept.append(bank["valid"][..., k] & ~close.any(-1))
+    valid = bank["valid"] & jnp.stack(kept, -1)
+    return dict(bank, valid=valid,
+                energy=jnp.where(valid, bank["energy"], jnp.inf))
+
+
+def _initial_evaluator(pen_fct, pen_eps, occ_thr, fb_thr, ep, has_occ,
+                       _cache={}):
+    """Jitted initial-hypothesis evaluation + insertion, cached at module
+    level so repeated final pairs reuse the compiled program."""
+    import jax
+
+    key = (pen_fct, pen_eps, occ_thr, fb_thr, ep, has_occ)
+    if key in _cache:
+        return _cache[key]
+    pen_d = make_penalty(pen_fct, pen_eps)
+
+    @jax.jit
+    def run(bank, flows, fully, wj, px, py, forward, backward, data,
+            ddx, ddy, *extra):
+        occ_masks = extra[0] if has_occ else None
+        occl = set_occlusions(px, py, flows[:, :, None], forward,
+                              backward, occ_thr, fb_thr)[:, :, 0]
+        energy = hypothesis_energy(px, py, flows[:, :, None],
+                                   occl[:, :, None], forward, data,
+                                   ddx, ddy, pen_d, ep,
+                                   occ_masks)[:, :, 0] + wj
+        return _bank_insert(bank, flows, occl, energy, 0, fully)[0]
+
+    _cache[key] = run
+    return run
+
+
+# --------------------------------------------------------------------------
+# initial hypotheses
+# --------------------------------------------------------------------------
 def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
                              forward, backward, occlusions,
                              data, data_dx, data_dy, weight_jet, epic_ctx,
                              timing=None):
-    occ_masks = jnp_occ(occlusions)
     """Hypothesis generation from each jet estimation
-    (dense_tracking.cpp:1098-1360). Returns consistent mask [h, w].
-    `timing` (optional dict) accumulates "warp" (accumulation) and "data"
-    (energy evaluation) seconds, mirroring dt_warp_time/dt_sum_time
-    (dense_tracking.cpp:305,336)."""
+    (dense_tracking.cpp:1098-1360). bank is a device bank dict; returns
+    (bank, consistent [h, w] np.bool_). `timing` accumulates "warp"
+    (accumulation) and "data" (energy evaluation) seconds, mirroring
+    dt_warp_time/dt_sum_time (dense_tracking.cpp:305,336)."""
     import time as _time
 
+    import jax
     import jax.numpy as jnp
 
+    occ_masks = jnp_occ(occlusions)
     timing = timing if timing is not None else {}
     timing.setdefault("warp", 0.0)
     timing.setdefault("data", 0.0)
@@ -225,45 +295,46 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
     ep = cfg.energy_params()
     xy_incr = cfg.skip_pixel + 1
     xy_start = int(0.5 * cfg.skip_pixel)
-    h, w = bank.h, bank.w
-    yy, xx = np.mgrid[0:h, 0:w]
-    px = (xx * xy_incr + xy_start).astype(np.float32)
-    py = (yy * xy_incr + xy_start).astype(np.float32)
+    h, w = bank["energy"].shape[:2]
+    px = (jnp.arange(w, dtype=jnp.float32) * xy_incr + xy_start)[None, :, None]
+    py = (jnp.arange(h, dtype=jnp.float32) * xy_incr + xy_start)[:, None, None]
+    px = jnp.broadcast_to(px, (h, w, 1))
+    py = jnp.broadcast_to(py, (h, w, 1))
+
+    forward_j = jnp.asarray(forward)
+    backward_j = jnp.asarray(backward)
+    data_j = jnp.asarray(data)
+    ddx_j = jnp.asarray(data_dx)
+    ddy_j = jnp.asarray(data_dy)
+
+    evaluate = _initial_evaluator(
+        cfg.penalty_fct_data, cfg.penalty_fct_data_eps,
+        cfg.occlusion_threshold, cfg.occlusion_fb_threshold, ep,
+        occ_masks is not None)
+
+    def eval_and_insert(bank, flows, fully, wj):
+        extra = (occ_masks,) if occ_masks is not None else ()
+        return evaluate(bank, flows, fully, wj, px, py, forward_j,
+                        backward_j, data_j, ddx_j, ddy_j, *extra)
 
     consistent = np.zeros((h, w), bool)
-
     for r, (r_fwd, r_bwd, r_occ) in enumerate(rate_flows):
         r_jets = r_fwd.shape[0]
         t0 = _time.time()
         acc, tracked = accumulate_consistent_batches(
             r_fwd, r_bwd, r_occ, cfg.consistency_threshold, cfg.skip_pixel,
             cfg.discard_inconsistent)
-        acc = np.asarray(acc)          # [r_jets, h, w, 2]
-        tracked = np.asarray(tracked)
+        fully_j = (tracked == r_jets)
+        fully = np.asarray(fully_j)                    # [h, w] bool, tiny
         timing["warp"] += _time.time() - t0
 
-        fully = tracked == r_jets
         consistent |= fully
 
-        flows_r = np.moveaxis(acc, 0, 2)            # [h, w, r_jets, 2]
-        flows = adapt_fps(flows_r, cfg.jets)        # [h, w, J, 2]
-
         t0 = _time.time()
-        occl = np.asarray(set_occlusions(
-            jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-            jnp.asarray(flows)[:, :, None], jnp.asarray(forward),
-            jnp.asarray(backward), cfg.occlusion_threshold,
-            cfg.occlusion_fb_threshold))[:, :, 0]
-
-        energy = np.asarray(hypothesis_energy(
-            jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-            jnp.asarray(flows)[:, :, None], jnp.asarray(occl)[:, :, None],
-            jnp.asarray(forward), jnp.asarray(data), jnp.asarray(data_dx),
-            jnp.asarray(data_dy), pen_d, ep,
-            occ_masks))[:, :, 0] + weight_jet[r]
+        flows = adapt_fps(jnp.moveaxis(acc, 0, 2), cfg.jets)
+        bank = eval_and_insert(bank, flows, fully_j, float(weight_jet[r]))
+        jax.block_until_ready(bank["energy"])
         timing["data"] += _time.time() - t0
-
-        bank.insert(flows, occl, energy, r, fully)
 
         # EPIC-interpolated hypotheses from the consistent matches; isolated
         # consistent speckles are removed first (dense_tracking.cpp:1265)
@@ -272,26 +343,17 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
 
             r_cons = fully.astype(np.int32)
             remove_small_segments(r_cons, 0.1, 100)
-            epic_flows = _epic_hypotheses(acc, r_cons > 0, cfg, epic_ctx)
+            epic_flows = _epic_hypotheses(np.asarray(acc), r_cons > 0, cfg,
+                                          epic_ctx)
             if epic_flows is not None:
-                eflows = adapt_fps(epic_flows, cfg.jets)
-                eoccl = np.asarray(set_occlusions(
-                    jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                    jnp.asarray(eflows)[:, :, None], jnp.asarray(forward),
-                    jnp.asarray(backward), cfg.occlusion_threshold,
-                    cfg.occlusion_fb_threshold))[:, :, 0]
-                eenergy = np.asarray(hypothesis_energy(
-                    jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                    jnp.asarray(eflows)[:, :, None],
-                    jnp.asarray(eoccl)[:, :, None],
-                    jnp.asarray(forward), jnp.asarray(data),
-                    jnp.asarray(data_dx), jnp.asarray(data_dy),
-                    pen_d, ep, occ_masks))[:, :, 0] + weight_jet[r]
-                bank.insert(eflows, eoccl, eenergy, r,
-                            np.ones((h, w), bool))
-    return consistent
-
-
+                t0 = _time.time()
+                eflows = adapt_fps(jnp.asarray(epic_flows), cfg.jets)
+                bank = eval_and_insert(
+                    bank, eflows, jnp.ones((h, w), bool),
+                    float(weight_jet[r]))
+                jax.block_until_ready(bank["energy"])
+                timing["data"] += _time.time() - t0
+    return bank, consistent
 def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
     """EPIC interpolation of each jet's consistent accumulated flow
     (dense_tracking.cpp:1268-1350). Returns [h, w, r_jets, 2] or None."""
@@ -321,136 +383,158 @@ def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
     return out
 
 
-def _group_evaluator(pen_fct, pen_eps, occ_thr, fb_thr, sim_method, ep,
-                     has_occ_masks, _cache={}):
-    """Jitted proposal-group evaluation: occlusions + energy + both distance
-    tables fuse into ONE program (each separate call pays a ~30 ms round
-    trip on tunneled backends). Cached at module level so repeated
-    propagate_neighbors calls reuse the traced function."""
-    import jax
 
-    key = (pen_fct, pen_eps, occ_thr, fb_thr, sim_method, ep, has_occ_masks)
-    if key in _cache:
-        return _cache[key]
+
+# --------------------------------------------------------------------------
+# neighbour-proposal propagation (device-resident)
+# --------------------------------------------------------------------------
+def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
+                        sim_thres, ep, has_occ, strides, base_radius,
+                        base_want, ntry, group, n_rates, use_consistent,
+                        xy_incr, xy_start, _cache={}):
+    """One jitted program for a full propagation pass: both lattice strides,
+    all tryout groups, gathers, evaluation, and the reference's sequential
+    insertion semantics (dense_tracking.cpp:1434-1583). The only inputs that
+    move are a PRNG key; the bank never leaves the device."""
+    import jax
+    import jax.numpy as jnp
+
+    key_s = (pen_fct, pen_eps, occ_thr, fb_thr, sim_method, sim_thres, ep,
+             has_occ, strides, base_radius, base_want, ntry, group, n_rates,
+             use_consistent, xy_incr, xy_start)
+    if key_s in _cache:
+        return _cache[key_s]
     pen_d = make_penalty(pen_fct, pen_eps)
 
     @jax.jit
-    def eval_group(px1, py1, cand_flows, bank_flows, forward, backward,
-                   data, data_dx, data_dy, *extra):
-        occ_masks = extra[0] if has_occ_masks else None
-        occl = set_occlusions(px1, py1, cand_flows, forward, backward,
-                              occ_thr, fb_thr)
-        energy = hypothesis_energy(px1, py1, cand_flows, occl, forward,
-                                   data, data_dx, data_dy, pen_d, ep,
-                                   occ_masks)
-        d_bank = trajectory_distance(cand_flows[:, :, :, None],
-                                     bank_flows[:, :, None], sim_method)
-        d_cand = trajectory_distance(cand_flows[:, :, :, None],
-                                     cand_flows[:, :, None], sim_method)
-        return occl, energy, d_bank, d_cand
+    def run(bank, key, consistent, forward, backward, data, ddx, ddy,
+            weight_jet, *extra):
+        occ_masks = extra[0] if has_occ else None
+        h, w = bank["energy"].shape[:2]
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        px = (xx * xy_incr + xy_start).astype(jnp.float32)[..., None]
+        py = (yy * xy_incr + xy_start).astype(jnp.float32)[..., None]
 
-    _cache[key] = eval_group
-    return eval_group
+        for t, stride in enumerate(strides):
+            radius = (t + 1) * base_radius / xy_incr
+            want = (t + 1) * base_want
+            k_ang, k_rad = jax.random.split(jax.random.fold_in(key, t))
+            ang = jax.random.uniform(k_ang, (ntry, h, w), jnp.float32,
+                                     0.0, 2 * np.pi)
+            rad = jnp.sqrt(jax.random.uniform(k_rad, (ntry, h, w),
+                                              jnp.float32)) * radius
+            sx_all = jnp.clip((xx + rad * jnp.cos(ang)).astype(jnp.int32),
+                              0, w - 1)
+            sy_all = jnp.clip((yy + rad * jnp.sin(ang)).astype(jnp.int32),
+                              0, h - 1)
+            sx_all = jnp.clip(((sx_all - 1) // stride) * stride + 1, 0, w - 1)
+            sy_all = jnp.clip(((sy_all - 1) // stride) * stride + 1, 0, h - 1)
+
+            added = jnp.zeros((h, w), jnp.int32)
+            for g0 in range(0, ntry, group):
+                sxg = sx_all[g0:g0 + group]                   # [G, h, w]
+                syg = sy_all[g0:g0 + group]
+                G = int(sxg.shape[0])
+                # gather candidates from the *current* bank (matches the
+                # reference's live per-group refresh)
+                cand_flows = jnp.moveaxis(
+                    bank["flows"][syg, sxg, 0], 0, 2)         # [h, w, G, J, 2]
+                cand_jet = jnp.moveaxis(
+                    bank["jet_est"][syg, sxg, 0], 0, 2)       # [h, w, G]
+                src_valid = jnp.moveaxis(
+                    bank["valid"][syg, sxg, 0], 0, 2)
+                if use_consistent:
+                    src_valid = src_valid & jnp.moveaxis(
+                        consistent[syg, sxg], 0, 2)
+
+                occl = set_occlusions(px, py, cand_flows, forward, backward,
+                                      occ_thr, fb_thr)
+                energy = hypothesis_energy(px, py, cand_flows, occl, forward,
+                                           data, ddx, ddy, pen_d, ep,
+                                           occ_masks)
+                wj = (weight_jet[None, None]
+                      * (cand_jet[..., None]
+                         == jnp.arange(n_rates)[None, None, None])).sum(-1)
+                energy = energy + wj
+                d_bank = trajectory_distance(cand_flows[:, :, :, None],
+                                             bank["flows"][:, :, None],
+                                             sim_method)   # [h, w, G, K]
+                d_cand = trajectory_distance(cand_flows[:, :, :, None],
+                                             cand_flows[:, :, None],
+                                             sim_method)   # [h, w, G, G]
+
+                # sequential insertion with similarity rejection; d_bank
+                # rows are refreshed per *group* (see the group-size note in
+                # the reference port) while in-group candidates check each
+                # other through d_cand
+                valid_live = bank["valid"]
+                inserted_prev = []
+                for i in range(G):
+                    src_ok = (src_valid[:, :, i]
+                              & ((sxg[i] != xx) | (syg[i] != yy))
+                              & (added < want))
+                    similar = ((d_bank[:, :, i] < sim_thres)
+                               & valid_live).any(-1)
+                    for j in range(i):
+                        similar = similar | (
+                            inserted_prev[j]
+                            & (d_cand[:, :, i, j] < sim_thres))
+                    ins = src_ok & ~similar
+                    bank, sel = _bank_insert(
+                        bank, cand_flows[:, :, i], occl[:, :, i],
+                        energy[:, :, i], cand_jet[:, :, i], ins)
+                    valid_live = bank["valid"]
+                    inserted_prev.append(ins)
+                    added = added + ins.astype(jnp.int32)
+        return bank
+
+    _cache[key_s] = run
+    return run
 
 
-def propagate_neighbors(bank: HypothesisBank, cfg: TrackingConfig, consistent,
-                        forward, backward, data, data_dx, data_dy,
-                        weight_jet, p_it: int, occlusions=None):
-
-    """Neighbour-proposal sampling (dense_tracking.cpp:1434-1583).
-
-    Seeded stratified replacement for the FLANN KD-tree search: for each of
-    the two lattice strides, draw `tryouts` random offsets within the radius,
-    keep draws landing on valid source pixels, and adopt the source's best
-    hypothesis re-anchored at the target.
-    """
+def _selection_kernels(sim_method, sim_thres, beta, spatial_occ, approach,
+                       trws_iters, trws_eps, xy_incr, xy_start, _cache={}):
+    """Jitted NMS + unary/pairwise construction + TRW/BP solve."""
+    import jax
     import jax.numpy as jnp
 
-    pen_d = make_penalty(cfg.penalty_fct_data, cfg.penalty_fct_data_eps)
-    ep = cfg.energy_params()
-    h, w = bank.h, bank.w
-    xy_incr = cfg.skip_pixel + 1
-    xy_start = int(0.5 * cfg.skip_pixel)
-    yy, xx = np.mgrid[0:h, 0:w]
-    px = (xx * xy_incr + xy_start).astype(np.float32)
-    py = (yy * xy_incr + xy_start).astype(np.float32)
-    rng = np.random.default_rng(cfg.seed + p_it)
-    occ_masks = jnp_occ(occlusions)
+    key = (sim_method, sim_thres, beta, spatial_occ, approach, trws_iters,
+           trws_eps, xy_incr, xy_start)
+    if key in _cache:
+        return _cache[key]
 
-    ntry = cfg.hyp_neigh_tryouts
-    # candidates per device dispatch. NOTE: the group size is semantics-
-    # relevant — within a group, an insertion that evicts an existing bank
-    # hypothesis leaves later candidates' d_bank rows stale (the reference's
-    # strictly sequential tryout loop refreshes per tryout); 4 keeps that
-    # window small
-    group = max(1, min(4, ntry))
+    @jax.jit
+    def nms(bank):
+        return _bank_nms(bank, sim_method, sim_thres)
 
-    forward_j = jnp.asarray(forward)
-    backward_j = jnp.asarray(backward)
-    data_j = jnp.asarray(data)
-    data_dx_j = jnp.asarray(data_dx)
-    data_dy_j = jnp.asarray(data_dy)
-    evaluator = _group_evaluator(
-        cfg.penalty_fct_data, cfg.penalty_fct_data_eps,
-        cfg.occlusion_threshold, cfg.occlusion_fb_threshold,
-        cfg.traj_sim_method, ep, occ_masks is not None)
+    @jax.jit
+    def unary_of(bank):
+        return jnp.where(bank["valid"], bank["energy"], BIG)
 
-    def eval_group(px1, py1, cand_flows, bank_flows):
-        extra = (occ_masks,) if occ_masks is not None else ()
-        return evaluator(px1, py1, cand_flows, bank_flows, forward_j,
-                         backward_j, data_j, data_dx_j, data_dy_j, *extra)
+    @jax.jit
+    def pairwise_of(bank, smooth_weight):
+        safe = jnp.where(bank["valid"][..., None, None], bank["flows"], 0.0)
+        return pairwise_costs(safe, bank["occl"], smooth_weight, beta,
+                              spatial_occ, sim_method, xy_incr, xy_start)
 
-    for t, stride in enumerate((cfg.nn_skip1, cfg.nn_skip2)):
-        radius = (t + 1) * cfg.neigh_hyp_radius / xy_incr
-        want = (t + 1) * cfg.neigh_hyp
-        added = np.zeros((h, w), np.int32)
+    @jax.jit
+    def solve(unary, cost_r, cost_d):
+        return solve_multilabel(unary, cost_r, cost_d, iters=trws_iters,
+                                approach=approach, eps=trws_eps)
 
-        # draw all tryouts up front (same seeded distribution as the
-        # per-tryout loop) and evaluate them in grouped dispatches
-        ang = rng.uniform(0, 2 * np.pi, (ntry, h, w))
-        rad = np.sqrt(rng.uniform(0, 1, (ntry, h, w))) * radius
-        sx_all = np.clip((xx + rad * np.cos(ang)).astype(int), 0, w - 1)
-        sy_all = np.clip((yy + rad * np.sin(ang)).astype(int), 0, h - 1)
-        sx_all = np.clip(((sx_all - 1) // stride) * stride + 1, 0, w - 1)
-        sy_all = np.clip(((sy_all - 1) // stride) * stride + 1, 0, h - 1)
+    @jax.jit
+    def sort_first(bank):
+        return _bank_sort(bank)
 
-        for g0 in range(0, ntry, group):
-            sxg = sx_all[g0:g0 + group]                       # [G, h, w]
-            syg = sy_all[g0:g0 + group]
-            G = sxg.shape[0]
-            cand_flows = np.stack([bank.flows[syg[i], sxg[i], 0]
-                                   for i in range(G)], axis=2)  # [h, w, G, J, 2]
-            cand_jet = np.stack([bank.jet_est[syg[i], sxg[i], 0]
-                                 for i in range(G)], axis=2)    # [h, w, G]
+    @jax.jit
+    def sort_keep(bank, selected, keep_n):
+        bank = _bank_sort(bank, keep_first=selected)
+        return _bank_truncate(bank, keep_n)
 
-            occl_d, energy_d, d_bank_d, d_cand_d = eval_group(
-                jnp.asarray(px)[..., None], jnp.asarray(py)[..., None],
-                jnp.asarray(cand_flows), jnp.asarray(bank.flows))
-            occl = np.asarray(occl_d)                           # [h, w, G, J+1]
-            energy = np.asarray(energy_d) + weight_jet[cand_jet]  # [h, w, G]
-            d_bank = np.asarray(d_bank_d)                       # [h, w, G, K]
-            d_cand = np.asarray(d_cand_d)                       # [h, w, G, G]
-
-            # sequential insertion semantics on the host (cheap bit-ops)
-            inserted_prev = {}
-            for i in range(G):
-                src_ok = bank.valid[syg[i], sxg[i], 0]
-                if p_it == 0:
-                    src_ok &= consistent[syg[i], sxg[i]]
-                src_ok &= (sxg[i] != xx) | (syg[i] != yy)
-                src_ok &= added < want
-                similar = ((d_bank[:, :, i] < cfg.traj_sim_thres)
-                           & bank.valid).any(-1)
-                for j in range(i):
-                    similar |= inserted_prev[j] & (
-                        d_cand[:, :, i, j] < cfg.traj_sim_thres)
-                ins = src_ok & ~similar
-                bank.insert(cand_flows[:, :, i], occl[:, :, i],
-                            energy[:, :, i], cand_jet[:, :, i], ins)
-                inserted_prev[i] = ins
-                added += ins.astype(np.int32)
-            if (added >= want).all():
-                break
+    kernels = (nms, unary_of, pairwise_of, solve, sort_first, sort_keep)
+    _cache[key] = kernels
+    return kernels
 
 
 def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
@@ -485,61 +569,87 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
     timing = {"warp": 0.0, "median": 0.0, "data": 0.0,
               "unary": 0.0, "pairwise": 0.0, "optimization": 0.0}
 
-    bank = HypothesisBank(h, w, cfg.capacity, J)
-    consistent = build_initial_hypotheses(
+    bank = _new_bank(h, w, cfg.capacity, J)
+    bank, consistent = build_initial_hypotheses(
         bank, cfg, rate_flows, forward, backward, occlusions,
         data, data_dx, data_dy, weight_jet, epic_ctx, timing)
 
     # guarantee at least one hypothesis everywhere: zero-flow outlier
-    none_valid = ~bank.valid.any(-1)
-    if none_valid.any():
-        zero_flow = np.zeros((h, w, J, 2), np.float32)
-        occl = np.ones((h, w, J + 1), np.int32)
-        occl[..., 0] = 0
-        energy = np.full((h, w), 1e6, np.float32)
-        bank.insert(zero_flow, occl, energy, 0, none_valid)
+    zero_flow = jnp.zeros((h, w, J, 2), jnp.float32)
+    occl0 = jnp.ones((h, w, J + 1), jnp.int32).at[..., 0].set(0)
+    energy0 = jnp.full((h, w), 1e6, jnp.float32)
+    bank, _ = _bank_insert(bank, zero_flow, occl0, energy0, 0,
+                           ~bank["valid"].any(-1))
+
+    occ_masks = jnp_occ(occlusions)
+    ep = cfg.energy_params()
+    forward_j = jnp.asarray(forward)
+    backward_j = jnp.asarray(backward)
+    data_j = jnp.asarray(data)
+    ddx_j = jnp.asarray(data_dx)
+    ddy_j = jnp.asarray(data_dy)
+    weight_jet_j = jnp.asarray(weight_jet, jnp.float32)
+    consistent_j = jnp.asarray(consistent)
+    smooth_weight_j = jnp.asarray(smooth_weight)
+    group = max(1, min(4, cfg.hyp_neigh_tryouts))
+    nms_k, unary_of, pairwise_of, solve, sort_first, sort_keep = \
+        _selection_kernels(cfg.traj_sim_method, cfg.traj_sim_thres,
+                           cfg.acc_beta, cfg.acc_spatial_occ, cfg.approach,
+                           cfg.trws_max_iter, cfg.trws_eps, xy_incr,
+                           xy_start)
 
     selected = None
     info = {"variables": [], "factors": [], "timing": timing}
     for p_it in range(cfg.alternate):
         if p_it == 0:
-            bank.sort_by_energy()
+            bank = sort_first(bank)
         else:
-            bank.sort_by_energy(keep_first=selected)
-            bank.truncate(1 + cfg.perturb_keep)
+            bank = sort_keep(bank, selected, 1 + cfg.perturb_keep)
 
-        propagate_neighbors(bank, cfg, consistent, forward, backward,
-                            data, data_dx, data_dy, weight_jet, p_it,
-                            occlusions)
-        bank.nms(cfg.traj_sim_method, cfg.traj_sim_thres)
+        propagate = _propagation_kernel(
+            cfg.penalty_fct_data, cfg.penalty_fct_data_eps,
+            cfg.occlusion_threshold, cfg.occlusion_fb_threshold,
+            cfg.traj_sim_method, cfg.traj_sim_thres, ep,
+            occ_masks is not None, (cfg.nn_skip1, cfg.nn_skip2),
+            cfg.neigh_hyp_radius, cfg.neigh_hyp, cfg.hyp_neigh_tryouts,
+            group, len(weight_jet), p_it == 0, xy_incr, xy_start)
+        extra = (occ_masks,) if occ_masks is not None else ()
+        key = jax.random.PRNGKey(cfg.seed)
+        bank = propagate(bank, jax.random.fold_in(key, p_it), consistent_j,
+                         forward_j, backward_j, data_j, ddx_j, ddy_j,
+                         weight_jet_j, *extra)
+        bank = nms_k(bank)
 
         t0 = _time.time()
-        unary = jnp.asarray(
-            np.where(bank.valid, bank.energy, BIG).astype(np.float32))
+        unary = unary_of(bank)
         jax.block_until_ready(unary)
         timing["unary"] += _time.time() - t0
 
         t0 = _time.time()
-        safe_flows = np.where(bank.valid[..., None, None], bank.flows, 0.0)
-        cost_r, cost_d = pairwise_costs(
-            safe_flows, bank.occl, smooth_weight, cfg.acc_beta,
-            cfg.acc_spatial_occ, cfg.traj_sim_method, xy_incr, xy_start)
+        cost_r, cost_d = pairwise_of(bank, smooth_weight_j)
         jax.block_until_ready((cost_r, cost_d))
         timing["pairwise"] += _time.time() - t0
 
         t0 = _time.time()
-        labels, energy, lb = solve_multilabel(
-            unary, cost_r, cost_d, iters=cfg.trws_max_iter,
-            approach=cfg.approach, eps=cfg.trws_eps)
-        selected = np.asarray(labels)
+        labels, energy, lb = solve(unary, cost_r, cost_d)
+        selected = labels
+        jax.block_until_ready(labels)
         timing["optimization"] += _time.time() - t0
         info["variables"].append(h * w)
         info["factors"].append(int(2 * h * w - h - w + h * w))
         if verbose:
             print(f"  alternate {p_it}: energy={float(energy):.1f} "
-                  f"lower_bound={float(lb):.1f} hyps={bank.count()}")
+                  f"lower_bound={float(lb):.1f} "
+                  f"hyps={int(np.asarray(bank['valid']).sum())}")
 
-    ys, xs = np.mgrid[0:h, 0:w]
-    final_flow = bank.flows[ys, xs, selected, J - 1] / xy_incr
-    occ_map = bank.occl[ys, xs, selected].max(-1).astype(np.uint8) * 255
-    return final_flow.astype(np.float32), occ_map, info
+    # final readback: one [h, w, ...] gather on device, two small fetches
+    sel_onehot = (jnp.arange(cfg.capacity)[None, None]
+                  == selected[..., None])                       # [h, w, K]
+    final_flow = jnp.einsum(
+        "hwk,hwkd->hwd", sel_onehot.astype(jnp.float32),
+        bank["flows"][:, :, :, J - 1]) / xy_incr
+    occ_any = (jnp.einsum("hwk,hwk->hw", sel_onehot.astype(jnp.float32),
+                          bank["occl"].max(-1).astype(jnp.float32)) > 0.5)
+    flow_np = np.asarray(final_flow, np.float32)
+    occ_map = np.asarray(occ_any).astype(np.uint8) * 255
+    return flow_np, occ_map, info

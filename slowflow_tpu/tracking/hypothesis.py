@@ -58,9 +58,10 @@ class HypothesisSet:
         return int(self.valid.sum())
 
 
-def adapt_fps(flows: np.ndarray, new_j: int) -> np.ndarray:
+def adapt_fps(flows, new_j: int):
     """Resample accumulated per-jet flow to a different jet count
-    (hypothesis.h:136-178). flows [..., J, 2] -> [..., new_j, 2]."""
+    (hypothesis.h:136-178). flows [..., J, 2] -> [..., new_j, 2].
+    Works on numpy or jax arrays (indices are static)."""
     J = flows.shape[-2]
     if J == new_j:
         return flows
@@ -68,13 +69,16 @@ def adapt_fps(flows: np.ndarray, new_j: int) -> np.ndarray:
     if skip >= 1:
         idx = (np.arange(new_j) * skip + (skip - 1)).astype(int)
         return flows[..., idx, :]
-    out = np.zeros(flows.shape[:-2] + (new_j, 2), flows.dtype)
+    cols = []
     for i in range(new_j):
         off = int(np.floor(i * skip))
         offm1 = int(np.floor((i - 1) * skip))
-        last = flows[..., offm1, :] if i > 0 else np.zeros_like(flows[..., 0, :])
-        out[..., i, :] = last + skip * (flows[..., off, :] - last)
-    return out
+        last = flows[..., offm1, :] if i > 0 \
+            else np.zeros(flows.shape[:-2] + (2,), np.float32)
+        cols.append(last + skip * (flows[..., off, :] - last))
+    if isinstance(flows, np.ndarray):
+        return np.stack(cols, axis=-2).astype(flows.dtype)
+    return jnp.stack(cols, axis=-2)
 
 
 def complete_hypothesis(flows: np.ndarray, start_f: int, end_f: int,
