@@ -81,9 +81,10 @@ def load_frame(path: str, params: ParameterList, scale: float,
         if mode == 0:
             img = bayer2rgb_green_ratio(img, red_loc[0], red_loc[1])
         elif mode == 1:
-            # Hamilton-Adams is optional in the reference (DMGUNTURK); use
-            # green-ratio bilinear in its place (same default quality tier).
-            img = bayer2rgb_green_ratio(img, red_loc[0], red_loc[1])
+            # Hamilton-Adams (the reference's optional DMGUNTURK path,
+            # slow_flow.cpp:487-500)
+            from ..utils.demosaic import bayer2rgb_hamilton_adams
+            img = bayer2rgb_hamilton_adams(img, red_loc[0], red_loc[1])
         else:
             # reference mode 2 = OpenCV demosaic on the 8-bit image
             scale16 = img.max() > 255.0

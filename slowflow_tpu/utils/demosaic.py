@@ -119,3 +119,75 @@ def raw_weighting(h: int, w: int, red_x: int, red_y: int, weight: float) -> np.n
     wg = np.where(g_site, weight, other)
     wb = np.where(b_site, weight, other)
     return np.stack([wr, wg, wb], axis=0).astype(np.float32)
+
+
+def _shift2(src: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Mirror-edge shift by (dy, dx) with |dy|,|dx| <= 2 (reflect-101)."""
+    h, w = src.shape
+    ys = np.abs(np.arange(h) + dy)
+    ys = np.where(ys > h - 1, 2 * (h - 1) - ys, ys)
+    xs = np.abs(np.arange(w) + dx)
+    xs = np.where(xs > w - 1, 2 * (w - 1) - xs, xs)
+    return src[ys][:, xs]
+
+
+def bayer2rgb_hamilton_adams(src: np.ndarray, red_x: int,
+                             red_y: int) -> np.ndarray:
+    """Hamilton-Adams gradient-corrected demosaicing.
+
+    The reference optionally links Pascal Getreuer's implementation of
+    Hamilton & Adams (U.S. patent 5,629,734) for `raw_demosaicing 1`
+    (DMGUNTURK, configuration.h:24-25, slow_flow.cpp:47-50,487-500); the
+    build was shipped with the define commented out, so this is a from-spec
+    implementation rather than a port:
+
+      green at R/B sites: pick the axis with the smaller combined
+      green-gradient + same-color-Laplacian detail estimator and correct
+      the averaged greens with half the Laplacian of the underlying color;
+      ties average both axes.
+      R/B elsewhere: bilinear interpolation of the color *differences*
+      (R-G, B-G) — axial at green sites, diagonal across sites, with the
+      diagonal direction again chosen by the smaller color gradient.
+
+    src: [H, W] Bayer mosaic; returns [H, W, 3] float32.
+    """
+    src = np.asarray(src, np.float32)
+    h, w = src.shape
+    g_in_blue, b_site, g_in_red, r_site = _pattern_masks(h, w, red_x, red_y)
+    g_site = g_in_blue | g_in_red
+
+    sh = lambda dy, dx: _shift2(src, dy, dx)
+
+    # ---- green at red/blue sites -------------------------------------
+    dh = np.abs(sh(0, -1) - sh(0, 1)) + np.abs(2 * src - sh(0, -2) - sh(0, 2))
+    dv = np.abs(sh(-1, 0) - sh(1, 0)) + np.abs(2 * src - sh(-2, 0) - sh(2, 0))
+    gh = 0.5 * (sh(0, -1) + sh(0, 1)) + 0.25 * (2 * src - sh(0, -2) - sh(0, 2))
+    gv = 0.5 * (sh(-1, 0) + sh(1, 0)) + 0.25 * (2 * src - sh(-2, 0) - sh(2, 0))
+    gb = 0.5 * (gh + gv)
+    green = np.where(g_site, src, np.where(dh < dv, gh,
+                                           np.where(dv < dh, gv, gb)))
+
+    # ---- red/blue via color differences ------------------------------
+    def chroma(site_mask, same_row_green):
+        """Interpolate (C - G) from `site_mask` samples to everywhere."""
+        diff = np.where(site_mask, src - green, 0.0)
+        gsh = lambda dy, dx: _shift2(diff, dy, dx)
+        # at green pixels: average the two axial neighbours that carry C
+        axial_h = 0.5 * (gsh(0, -1) + gsh(0, 1))
+        axial_v = 0.5 * (gsh(-1, 0) + gsh(1, 0))
+        # across sites (B site for R, R site for B): diagonal neighbours,
+        # direction chosen by the smaller diagonal gradient
+        dn = np.abs(gsh(-1, -1) - gsh(1, 1))
+        dp = np.abs(gsh(-1, 1) - gsh(1, -1))
+        diag_n = 0.5 * (gsh(-1, -1) + gsh(1, 1))
+        diag_p = 0.5 * (gsh(-1, 1) + gsh(1, -1))
+        diag = np.where(dn < dp, diag_n,
+                        np.where(dp < dn, diag_p, 0.5 * (diag_n + diag_p)))
+        out = np.where(site_mask, diff,
+                       np.where(same_row_green, axial_h,
+                                np.where(g_site, axial_v, diag)))
+        return green + out
+
+    red = chroma(r_site, g_in_red)
+    blue = chroma(b_site, g_in_blue)
+    return np.stack([red, green, blue], axis=-1).astype(np.float32)

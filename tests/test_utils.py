@@ -134,3 +134,40 @@ def test_epicflow_preset_parity():
     m = TwoFrameParams.middlebury()
     assert (m.alpha, m.gamma, m.delta, m.sigma, m.niter_outer) == \
         (1.0, 0.72, 0.0, 1.1, 25)
+
+
+def test_hamilton_adams_demosaic():
+    """HA is exact on constants and linear ramps (2nd-order corrected) and
+    beats plain bilinear on channel-correlated textures."""
+    from slowflow_tpu.utils.demosaic import (
+        _pattern_masks, bayer2rgb_hamilton_adams)
+
+    h, w = 64, 80
+    const = np.full((h, w), 77.0, np.float32)
+    out = bayer2rgb_hamilton_adams(const, 1, 0)
+    np.testing.assert_allclose(out, 77.0)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ramp = 2 * xx + 3 * yy + 5
+    out = bayer2rgb_hamilton_adams(ramp, 0, 0)
+    inner = (slice(4, -4), slice(4, -4))
+    np.testing.assert_allclose(
+        out[inner], np.repeat(ramp[inner][..., None], 3, -1), atol=1e-4)
+
+    rng = np.random.default_rng(0)
+    lum = rng.random((h, w)).astype(np.float32) * 255
+    for _ in range(2):
+        lum = 0.25 * (np.roll(lum, 1, 0) + np.roll(lum, -1, 0)
+                      + np.roll(lum, 1, 1) + np.roll(lum, -1, 1))
+    R, G, B = 0.9 * lum + 10, lum, 0.8 * lum + 20
+    _, b_site, _, r_site = _pattern_masks(h, w, 1, 0)
+    mosaic = np.where(r_site, R, np.where(b_site, B, G)).astype(np.float32)
+    ha = bayer2rgb_hamilton_adams(mosaic, 1, 0)
+    bl = bayer2rgb(mosaic, 1, 0)
+
+    def err(o):
+        e = np.stack([np.abs(o[..., 0] - R), np.abs(o[..., 1] - G),
+                      np.abs(o[..., 2] - B)])
+        return e[(slice(None),) + inner].mean()
+
+    assert err(ha) < err(bl)
