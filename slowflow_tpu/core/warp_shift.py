@@ -215,7 +215,7 @@ def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, kx_ks=(4, 12),
     return sel, [make_branch(k) for k in kx_ks]
 
 
-def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 12),
+def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 8, 12),
                     r: int = R_STRIP, interpret: bool = False):
     """Warp the frame window [2*ref+1, C, H, W] by per-frame factor
     (k - ref), choosing per call between shift variants and the banded
