@@ -431,11 +431,11 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
             sx_all = jnp.clip(((sx_all - 1) // stride) * stride + 1, 0, w - 1)
             sy_all = jnp.clip(((sy_all - 1) // stride) * stride + 1, 0, h - 1)
 
-            added = jnp.zeros((h, w), jnp.int32)
-            for g0 in range(0, ntry, group):
-                sxg = sx_all[g0:g0 + group]                   # [G, h, w]
-                syg = sy_all[g0:g0 + group]
-                G = int(sxg.shape[0])
+            def group_body(carry):
+                bank, added, g0 = carry
+                sxg = jax.lax.dynamic_slice_in_dim(sx_all, g0, group, 0)
+                syg = jax.lax.dynamic_slice_in_dim(sy_all, g0, group, 0)
+                G = group
                 # gather candidates from the *current* bank (matches the
                 # reference's live per-group refresh)
                 cand_flows = jnp.moveaxis(
@@ -487,6 +487,18 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                     valid_live = bank["valid"]
                     inserted_prev.append(ins)
                     added = added + ins.astype(jnp.int32)
+                return bank, added, g0 + group
+
+            def group_cond(carry):
+                # the reference's tryout-loop break: once every pixel has
+                # adopted `want` proposals, further groups cannot insert
+                # (dense_tracking.cpp:1580-1582) — skip their evaluation
+                _, added, g0 = carry
+                return (g0 + group <= ntry) & ~jnp.all(added >= want)
+
+            added0 = jnp.zeros((h, w), jnp.int32)
+            bank, _, _ = jax.lax.while_loop(
+                group_cond, group_body, (bank, added0, jnp.int32(0)))
         return bank
 
     _cache[key_s] = run
