@@ -229,8 +229,12 @@ def main():
 
     jps, wall, flow_err = tpu_jets_per_sec(batch, h, w, p)
     # NumPy proxy, credited 5x in the reference's favor for its SSE inner
-    # loops vs NumPy temporaries (both single-threaded per jet).
-    base_jps = cpu_baseline_jets_per_sec(h, w, p) * 5.0
+    # loops vs NumPy temporaries (both single-threaded per jet). The proxy
+    # dips under host contention, which would *inflate* vs_baseline; clamp
+    # it to the best (fastest) quiescent measurement recorded across rounds
+    # so the speedup claim only ever errs conservative. (BASELINE.md's
+    # measured epicflow-binary anchor corroborates this scale.)
+    base_jps = max(cpu_baseline_jets_per_sec(h, w, p) * 5.0, 0.0735)
 
     out = {
         "metric": "frame-pairs/sec per chip (1080p jets @ scale 0.25, S=3, "

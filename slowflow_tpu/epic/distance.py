@@ -171,8 +171,12 @@ def dist_trf_nnfield(seeds: np.ndarray, cost: np.ndarray, nn: int,
     dmap, labels = distance_transform(
         jnp.asarray(cost, jnp.float32), jnp.asarray(seed_dist),
         jnp.asarray(seed_labels), max_iter=max_iter)
-    dmap = np.asarray(dmap)
-    labels = np.asarray(labels)
+    # one combined fetch: device->host round trips cost ~70 ms each on the
+    # tunneled backend, regardless of size
+    both = np.asarray(jnp.concatenate(
+        [dmap[None], labels.astype(jnp.float32)[None]]))
+    dmap = both[0]
+    labels = both[1].astype(np.int32)
 
     indptr, indices, data = seed_graph(labels, dmap, ns)
     nnf, dis = knn_graph_all(indptr, indices, data, nn)
