@@ -134,19 +134,29 @@ def _shift_impl(src_pad, planes, starts, *, f: int, n_r: int, c: int,
               .reshape(f, c, n_r * r, wp)
 
 
-def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, kx_ks=(4, 12),
-                           r: int = R_STRIP, interpret: bool = False):
+def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, k_pairs=None,
+                           kx_ks=(4, 12), r: int = R_STRIP,
+                           interpret: bool = False):
     """Build the dispatch pieces for warping a stack of frames (no identity
     frame) by per-frame `factors_nz`.
 
-    Returns (ok_levels, branch_fns, operands) where ok_levels is an int32
-    scalar selecting which variant is exact (len(kx_ks) = fallback needed),
-    and branch_fns[i] computes the warped stack [F, C, H, W] for variant i.
+    `k_pairs` is an ordered ladder of (kx, ky) variants, cheapest (fewest
+    shift terms) first — anisotropic entries exploit that real video motion
+    is usually x-dominated. Defaults to the cross product of `kx_ks` with a
+    small-ky rung per kx, sorted by term count.
+
+    Returns (sel, branch_fns) where sel is an int32 scalar selecting which
+    variant is exact (len(k_pairs) = fallback needed), and branch_fns[i]
+    computes the warped stack [F, C, H, W] for variant i.
     """
+    if k_pairs is None:
+        k_pairs = sorted(
+            {(kx, ky) for kx in kx_ks for ky in (min(kx_ks), kx)},
+            key=lambda p: (p[0] + 2) * (p[1] + 2))
     f, c, h, w = seq_nz.shape
     n_r = -(-h // r)
     hp = n_r * r
-    k_max = max(kx_ks)
+    k_max = max(max(p) for p in k_pairs)
     wp = _round_up(w + k_max, 128)
     win_h = _round_up(r + k_max + 1, 8)
     hpad_top = PADT
@@ -173,11 +183,15 @@ def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, kx_ks=(4, 12),
     rng_y = strip_red(dispy1, jnp.max) - off_y
     anchors_ok = ((jnp.abs(off_x) <= PADL).all()
                   & (jnp.abs(off_y) <= PADT).all())
-    max_rng = jnp.maximum(rng_x.max(), rng_y.max())
-    # level i usable iff max range fits k and anchors are in the headroom
-    sel = jnp.int32(len(kx_ks))                    # default: fallback
-    for i in reversed(range(len(kx_ks))):
-        sel = jnp.where(anchors_ok & (max_rng <= kx_ks[i]), jnp.int32(i), sel)
+    mrx = rng_x.max()
+    mry = rng_y.max()
+    # variant i usable iff both axis ranges fit and anchors have headroom;
+    # scan the ladder from most expensive down so the cheapest fit wins
+    sel = jnp.int32(len(k_pairs))                  # default: fallback
+    for i in reversed(range(len(k_pairs))):
+        kx_i, ky_i = k_pairs[i]
+        sel = jnp.where(anchors_ok & (mrx <= kx_i) & (mry <= ky_i),
+                        jnp.int32(i), sel)
 
     # local per-pixel corner indices relative to the strip anchor
     def localize(a, off):
@@ -204,15 +218,15 @@ def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, kx_ks=(4, 12),
     scol = (PADL + off_x.astype(jnp.int32))        # [F, n_r]
     starts = jnp.stack([srow, scol], -1).reshape(f * n_r, 2)
 
-    def make_branch(k):
+    def make_branch(kx, ky):
         def branch(_):
             out = _shift_impl(src_pad, planes, starts, f=f, n_r=n_r, c=c,
-                              r=r, win_h=win_h, wp=wp, kx=k, ky=k,
+                              r=r, win_h=win_h, wp=wp, kx=kx, ky=ky,
                               interpret=interpret)
             return out[:, :, :h, :w]
         return branch
 
-    return sel, [make_branch(k) for k in kx_ks]
+    return sel, [make_branch(kx, ky) for kx, ky in k_pairs]
 
 
 def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 8, 12),
