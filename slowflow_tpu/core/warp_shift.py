@@ -229,7 +229,7 @@ def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, k_pairs=None,
     return sel, [make_branch(kx, ky) for kx, ky in k_pairs]
 
 
-def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 8, 12),
+def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 12),
                     r: int = R_STRIP, interpret: bool = False):
     """Warp the frame window [2*ref+1, C, H, W] by per-frame factor
     (k - ref), choosing per call between shift variants and the banded
