@@ -232,13 +232,31 @@ def main():
         h, w, batch = args.height, args.width, args.batch
 
     jps, wall, flow_err = tpu_jets_per_sec(batch, h, w, p)
-    # NumPy proxy, credited 5x in the reference's favor for its SSE inner
-    # loops vs NumPy temporaries (both single-threaded per jet). The proxy
-    # dips under host contention, which would *inflate* vs_baseline; clamp
-    # it to the best (fastest) quiescent measurement recorded across rounds
-    # so the speedup claim only ever errs conservative. (BASELINE.md's
-    # measured epicflow-binary anchor corroborates this scale.)
-    base_jps = max(cpu_baseline_jets_per_sec(h, w, p) * 5.0, 0.0735)
+    # Baseline convention (explicit): the denominator is the MEASURED
+    # per-jet wall-clock of the reference's own variational_mt.cpp+solver.c
+    # (unmodified, -O3 -msse4) on this exact workload, single thread — the
+    # reference never parallelizes inside a jet (slow_flow.cpp:706: OpenMP
+    # spreads whole jets across cores), so t_jet/core is the ground truth
+    # and an N-core reference scales it by at most N. The harness is
+    # tools/measure_mt_baseline.py; it caches /tmp/mt_baseline.json. The
+    # 8-core equivalent is also published so both conventions are on the
+    # record. Fallback when the harness result is absent: the round-2
+    # NumPy-proxy floor 0.0735 jets/s, which is ~7x MORE generous to the
+    # reference than its measured 0.0103 jets/s.
+    measured = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for mt_json in ("/tmp/mt_baseline.json",
+                    os.path.join(here, "tools", "mt_baseline_measured.json")):
+        if os.path.exists(mt_json):
+            with open(mt_json) as fh:
+                measured = json.load(fh)
+            break
+    if measured:
+        base_jps = measured["jets_per_sec_core"]
+        base_kind = "measured reference variational_mt (1 core)"
+    else:
+        base_jps = max(cpu_baseline_jets_per_sec(h, w, p) * 5.0, 0.0735)
+        base_kind = "numpy proxy (1-core equivalent)"
 
     out = {
         "metric": "frame-pairs/sec per chip (1080p jets @ scale 0.25, S=3, "
@@ -246,7 +264,10 @@ def main():
         "value": round(jps, 3),
         "unit": "jets/s",
         "vs_baseline": round(jps / base_jps, 1),
+        "baseline_convention": "single-core reference; see vs_baseline_8core",
+        "baseline_kind": base_kind,
         "baseline_estimate_jets_per_sec": round(base_jps, 5),
+        "vs_baseline_8core": round(jps / (8 * base_jps), 1),
         "flow_recovery_err_px": round(flow_err, 3),
         "batch": batch, "height": h, "width": w,
         "wall_s_per_batch": round(wall, 3),

@@ -49,10 +49,12 @@ def _kernel(offs_ref, win_ref, x0_ref, x1_ref, dx_ref, y0_ref, y1_ref,
     ox = ((iota_x == lx0) * (1.0 - dxr) + (iota_x == lx1) * dxr)
 
     win = win_ref[0].reshape(c * wy_win, wx_win)
-    # NOTE: Mosaic rejects Precision.HIGH; f32 inputs with DEFAULT precision
-    # lower to the MXU's exact f32 path inside Pallas kernels.
+    # Mosaic rejects Precision.HIGH but accepts HIGHEST, which guarantees the
+    # exact f32 MXU path on every TPU generation (DEFAULT may lower to bf16
+    # passes on some).
     c_mat = jax.lax.dot_general(
         win, ox, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32).reshape(c, wy_win, R * T)
 
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (wy_win, R * T), 0)

@@ -254,7 +254,7 @@ def _initial_evaluator(pen_fct, pen_eps, occ_thr, fb_thr, ep, has_occ,
     pen_d = make_penalty(pen_fct, pen_eps)
 
     @jax.jit
-    def run(bank, flows, fully, wj, px, py, forward, backward, data,
+    def run(bank, flows, fully, wj, rate, px, py, forward, backward, data,
             ddx, ddy, *extra):
         occ_masks = extra[0] if has_occ else None
         occl = set_occlusions(px, py, flows[:, :, None], forward,
@@ -263,7 +263,9 @@ def _initial_evaluator(pen_fct, pen_eps, occ_thr, fb_thr, ep, has_occ,
                                    occl[:, :, None], forward, data,
                                    ddx, ddy, pen_d, ep,
                                    occ_masks)[:, :, 0] + wj
-        return _bank_insert(bank, flows, occl, energy, 0, fully)[0]
+        # the source rate index rides along so propagation re-applies
+        # weight_jet_estimation[jet_est] (dense_tracking.cpp:1244,1553)
+        return _bank_insert(bank, flows, occl, energy, rate, fully)[0]
 
     _cache[key] = run
     return run
@@ -312,10 +314,10 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
         cfg.occlusion_threshold, cfg.occlusion_fb_threshold, ep,
         occ_masks is not None)
 
-    def eval_and_insert(bank, flows, fully, wj):
+    def eval_and_insert(bank, flows, fully, wj, rate):
         extra = (occ_masks,) if occ_masks is not None else ()
-        return evaluate(bank, flows, fully, wj, px, py, forward_j,
-                        backward_j, data_j, ddx_j, ddy_j, *extra)
+        return evaluate(bank, flows, fully, wj, jnp.int32(rate), px, py,
+                        forward_j, backward_j, data_j, ddx_j, ddy_j, *extra)
 
     consistent = np.zeros((h, w), bool)
     for r, (r_fwd, r_bwd, r_occ) in enumerate(rate_flows):
@@ -332,7 +334,7 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
 
         t0 = _time.time()
         flows = adapt_fps(jnp.moveaxis(acc, 0, 2), cfg.jets)
-        bank = eval_and_insert(bank, flows, fully_j, float(weight_jet[r]))
+        bank = eval_and_insert(bank, flows, fully_j, float(weight_jet[r]), r)
         jax.block_until_ready(bank["energy"])
         timing["data"] += _time.time() - t0
 
@@ -350,7 +352,7 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
                 eflows = adapt_fps(jnp.asarray(epic_flows), cfg.jets)
                 bank = eval_and_insert(
                     bank, eflows, jnp.ones((h, w), bool),
-                    float(weight_jet[r]))
+                    float(weight_jet[r]), r)
                 jax.block_until_ready(bank["energy"])
                 timing["data"] += _time.time() - t0
     return bank, consistent
@@ -430,6 +432,12 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                               0, h - 1)
             sx_all = jnp.clip(((sx_all - 1) // stride) * stride + 1, 0, w - 1)
             sy_all = jnp.clip(((sy_all - 1) // stride) * stride + 1, 0, h - 1)
+            # pad to a whole number of groups; the tail candidates are
+            # masked out by the global-index check below
+            pad_n = (-ntry) % group
+            if pad_n:
+                sx_all = jnp.concatenate([sx_all, sx_all[:pad_n]], 0)
+                sy_all = jnp.concatenate([sy_all, sy_all[:pad_n]], 0)
 
             def group_body(carry):
                 bank, added, g0 = carry
@@ -473,7 +481,8 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                 for i in range(G):
                     src_ok = (src_valid[:, :, i]
                               & ((sxg[i] != xx) | (syg[i] != yy))
-                              & (added < want))
+                              & (added < want)
+                              & (g0 + i < ntry))
                     similar = ((d_bank[:, :, i] < sim_thres)
                                & valid_live).any(-1)
                     for j in range(i):
@@ -494,7 +503,7 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                 # adopted `want` proposals, further groups cannot insert
                 # (dense_tracking.cpp:1580-1582) — skip their evaluation
                 _, added, g0 = carry
-                return (g0 + group <= ntry) & ~jnp.all(added >= want)
+                return (g0 < ntry) & ~jnp.all(added >= want)
 
             added0 = jnp.zeros((h, w), jnp.int32)
             bank, _, _ = jax.lax.while_loop(
