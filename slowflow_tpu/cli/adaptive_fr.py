@@ -96,33 +96,16 @@ def run_folder(path, folder, fmt="%07i.tif", scale=0.25, skip=2, samples=40,
     epic_params = EpicParams.sintel()
     flow_params = TwoFrameParams.sintel()
 
-    flows = []
-    results = ["frame\ttime\n\n"]
     t_all = time.time()
+
+    # ------------------------------------------------------- gather samples
+    records = []            # (seq_start, flo_file, imgs-or-None)
     seq_start = start
     for it in range(samples):
         if it > 0:
             seq_start += params.Jets * sample_step
         params.sequence_start = seq_start
 
-        # read the two frames (8-bit working range, adaptiveFR.cpp:453)
-        imgs = []
-        ok = True
-        for f in range(2):
-            p = frame_path(seq_path, fmt, seq_start, f * skip, sintel)
-            if not os.path.exists(p):
-                print(f"Could not find {p}!", file=sys.stderr)
-                ok = False
-                break
-            img = load_frame(p, params, scale, red_loc)
-            if img.max() > 255.0:
-                img = img / 255.0  # 16-bit -> 8-bit range (adaptiveFR.cpp:453)
-            imgs.append(np.clip(img, 0, 255))
-        if not ok:
-            continue
-
-        flo_file = frame_path(output, fmt_flow + ".flo", seq_start, 0,
-                              False if not sintel else False)
         if not sintel:
             flo_file = os.path.join(output, fmt_flow % seq_start + ".flo")
         else:
@@ -130,22 +113,75 @@ def run_folder(path, folder, fmt="%07i.tif", scale=0.25, skip=2, samples=40,
                                                         seq_start % 1000)
                                     + ".flo")
 
-        t0 = time.time()
+        imgs = None
         if overwrite or not os.path.exists(flo_file):
-            # ingest precomputed SED/DeepMatching files when present
-            edges_f = output + f"tmp/edges_{seq_start}.dat"
-            match_f = output + f"tmp/matches_{seq_start}_{seq_start + skip}.dat"
+            # read the two frames (8-bit working range, adaptiveFR.cpp:453)
+            imgs = []
+            for f in range(2):
+                p = frame_path(seq_path, fmt, seq_start, f * skip, sintel)
+                if not os.path.exists(p):
+                    print(f"Could not find {p}!", file=sys.stderr)
+                    imgs = None
+                    break
+                img = load_frame(p, params, scale, red_loc)
+                if img.max() > 255.0:
+                    img = img / 255.0   # 16-bit -> 8-bit (adaptiveFR.cpp:453)
+                imgs.append(np.clip(img, 0, 255))
+            if imgs is None:
+                continue
+        records.append((seq_start, flo_file, imgs))
+
+    # ------------------------------------------- batched estimation (1 pass)
+    # EPIC inits run per sample on the host (ingesting SED/DeepMatching
+    # files when present); the N variational refinements are ONE vmapped
+    # device dispatch — the TPU replacement for OpenMP-over-folders
+    # (adaptiveFR.cpp:245).
+    todo = [r for r in records if r[2] is not None]
+    t_est = time.time()
+    refined = {}
+    if todo:
+        import jax.numpy as jnp
+
+        from ..variational.twoframe import variational_twoframe_batched
+
+        inits = []
+        for seq_start_i, _, imgs in todo:
+            edges_f = output + f"tmp/edges_{seq_start_i}.dat"
+            match_f = (output
+                       + f"tmp/matches_{seq_start_i}_{seq_start_i + skip}.dat")
             edges = read_edges(edges_f, imgs[0].shape[2], imgs[0].shape[1]) \
-                if os.path.exists(edges_f) else None
-            matches = read_matches(match_f) if os.path.exists(match_f) else None
-            flow = estimate_pair(imgs[0], imgs[1], epic_params, flow_params,
-                                 edges, matches)
+                if os.path.exists(edges_f) else \
+                np.asarray(detect_edges(jnp.asarray(imgs[0])))
+            matches = read_matches(match_f) if os.path.exists(match_f) \
+                else grid_matches(imgs[0], imgs[1])
+            imlab = np.asarray(rgb_to_lab(jnp.asarray(imgs[0])))
+            inits.append(epic(imlab, matches, edges, epic_params))
+
+        wx0 = jnp.asarray(np.stack([i[..., 0] for i in inits]))
+        wy0 = jnp.asarray(np.stack([i[..., 1] for i in inits]))
+        im1 = jnp.asarray(np.stack([r[2][0] for r in todo]))
+        im2 = jnp.asarray(np.stack([r[2][1] for r in todo]))
+        wx, wy = variational_twoframe_batched(wx0, wy0, im1, im2, flow_params)
+        wx = np.asarray(wx)
+        wy = np.asarray(wy)
+        for i, (seq_start_i, flo_file, _) in enumerate(todo):
+            refined[seq_start_i] = np.stack([wx[i], wy[i]], -1)
+    t_est = time.time() - t_est
+
+    # ----------------------------------------------------- outputs + quantile
+    flows = []
+    results = ["frame\ttime\n\n"]
+    per_sample = t_est / max(1, len(todo))
+    for seq_start_i, flo_file, imgs in records:
+        if seq_start_i in refined:
+            flow = refined[seq_start_i]
             write_flo(flo_file, flow)
+            results.append(f"{seq_start_i}\t{per_sample:.1f}\n")
         else:
             flow = read_flo(flo_file)
-        write_image(output + f"tmp/frame_{seq_start}.png",
+            results.append(f"{seq_start_i}\t0.0\n")
+        write_image(output + f"tmp/frame_{seq_start_i}.png",
                     flow_color_img(flow[..., 0], flow[..., 1]))
-        results.append(f"{seq_start}\t{time.time() - t0:.1f}\n")
 
         # un-scale flow to recorded resolution / frame rate (adaptiveFR.cpp:612)
         flows.append(flow / (scale * skip))

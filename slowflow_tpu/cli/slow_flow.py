@@ -13,8 +13,12 @@ flow visualizations, and a `config.cfg` snapshot including the sequence
 normalization statistics.
 
 TPU redesign: the OpenMP-over-jets loop becomes a batched `vmap` dispatch
-(`-batch B` jets per device call; see variational_mt_batched); `-threads` is
-accepted for CLI parity and ignored.
+(`-batch B` jets per device call; see variational_mt_batched). The EPIC
+initialization is pipelined off the jet critical path: per-frame Lab/
+saliency/edge maps are computed for the whole window in single batched
+dispatches, grid matching runs one dispatch per jet group, and the remaining
+host-side interpolation work runs on a prefetch thread (`-threads N` sizes
+it) that races ahead while the device minimizes the previous group.
 """
 from __future__ import annotations
 
@@ -34,7 +38,7 @@ from ..variational.multiframe import MultiFrameParams, variational_mt_batched
 from ..core.image import normalize_sequence, rgb_to_lab, resize_bilinear
 from ..epic import EpicParams, epic
 from ..epic.edges import detect_edges
-from ..epic.matching import grid_matches
+from ..epic.matching import grid_matches_batched
 from .common import frame_path, load_frame, unique_output_dir
 
 
@@ -113,13 +117,14 @@ def compute_rates(quantil, hfr_quantil, lfr_rate_mult, keyframes, steps):
 
 
 def _epic_init(im_ref_lab, edges, matches, epic_params, target_hw, steps,
-               dm_scale):
+               dm_scale, saliency_map=None):
     """EPIC interpolation producing the variational initialization, rescaled
     to the working resolution and divided by `steps`
     (slow_flow.cpp:800-843)."""
     import jax.numpy as jnp
 
-    flow = epic(im_ref_lab, matches, edges, epic_params)
+    flow = epic(im_ref_lab, matches, edges, epic_params,
+                saliency_map=saliency_map)
     h, w = target_hw
     fh, fw = h / flow.shape[0], w / flow.shape[1]
     if (fh, fw) != (1.0, 1.0):
@@ -216,13 +221,34 @@ def run(cfg_path: str, overwrite=False, resume=False, deep_settings="",
 
         _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale,
                       dm_scale, sintel, enable_dm, epic_params, resume,
-                      selected_jet, batch)
+                      selected_jet, batch, max_flow_j, threads)
     print("Done!")
     return 0
 
 
+def _preprocess_frames(frames8):
+    """Lab + saliency + edge maps for every window frame in one batched
+    dispatch each (replaces one rgb_to_lab/saliency/SED invocation per jet:
+    slow_flow.cpp:747-757 + epic.cpp:166-174)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.image import saliency as saliency_fn
+
+    @jax.jit
+    def go(stack):
+        lab = jax.vmap(rgb_to_lab)(stack)
+        sal = jax.vmap(lambda l: saliency_fn(l, 0.8, 1.0))(lab)
+        edges = jax.vmap(detect_edges)(stack)
+        return lab, sal, edges
+
+    lab, sal, edges = go(jnp.asarray(frames8, jnp.float32))
+    return np.asarray(lab), np.asarray(sal), np.asarray(edges)
+
+
 def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
-                  sintel, enable_dm, epic_params, resume, selected_jet, batch):
+                  sintel, enable_dm, epic_params, resume, selected_jet, batch,
+                  max_flow_j=50.0, threads=None):
     import jax.numpy as jnp
 
     jets = cfg.Jets
@@ -310,41 +336,71 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
 
     results = ["frame\ttime\n"]
 
-    def jet_window(j, backward=False):
-        """[2*ref+1, 3, H, W] window around jet j (forward) or the reversed
-        window for the backward pass (slow_flow.cpp:716-724)."""
+    # The normalized frame stack is staged to the device ONCE; per-batch jet
+    # windows are gathered on-device (consecutive windows share all but
+    # `steps` frames, so host->HBM traffic would otherwise be ~F/steps x).
+    seq_dev = jnp.asarray(stack)
+
+    def jet_window_idx(j, backward=False):
+        """Window frame indices (into seq_dev) around jet j (forward) or the
+        reversed window for the backward pass (slow_flow.cpp:716-724)."""
         f0 = j * steps
         idx = list(range(f0, f0 + 2 * ref + 1))
         if backward:
             idx = list(reversed([i + steps for i in idx]))
-        return np.stack([seq[i] for i in idx])
+        return [i - start_f for i in idx]
 
-    def epic_flow_init(j, backward=False):
-        """EPIC init from edges+matches; files are ingested from tmp/ when
-        present (SED/DeepMatching outputs), else computed natively."""
+    # per-frame Lab/saliency/edges for the whole window, batched (only when
+    # the EPIC init will actually run)
+    pre = {}
+    if enable_dm:
+        order = list(range(start_f, end_f))
+        lab_all, sal_all, edges_all = _preprocess_frames(
+            np.stack([seq8[f] for f in order]))
+        pre = {f: i for i, f in enumerate(order)}
+
+    def _jet_frames(j, backward):
         a = j * steps + ref
         b = j * steps + 2 * ref
         if backward:
             a, b = b, a
-        src8 = seq8[a]
-        dst8 = seq8[b]
+        return a, b
+
+    def _match_file(a, b):
+        return (cfg.output + f"tmp/matches_{cfg.sequence_start + (a - ref) * skip}"
+                f"_{cfg.sequence_start + (b - ref) * skip}.dat")
+
+    def group_matches(group, backward):
+        """Matches for every jet in a group: ingested DeepMatching files when
+        present, otherwise ONE batched grid-match dispatch for the rest."""
+        pairs = [_jet_frames(j, backward) for j in group]
+        out = {}
+        missing = []
+        for j, (a, b) in zip(group, pairs):
+            mf = _match_file(a, b)
+            if os.path.exists(mf):
+                out[j] = read_matches(mf)
+            else:
+                missing.append((j, a, b))
+        if missing:
+            radius = int(min(64, max(8, math.ceil(max_flow_j))))
+            res = grid_matches_batched(
+                np.stack([seq8[a] for _, a, _ in missing]),
+                np.stack([seq8[b] for _, _, b in missing]), radius=radius)
+            for (j, _, _), m in zip(missing, res):
+                out[j] = m
+        return out
+
+    def epic_flow_init(j, backward, matches):
+        """EPIC init for one jet from the precomputed per-frame maps; SED
+        edge files are ingested from tmp/ when present."""
+        a, _ = _jet_frames(j, backward)
         edges_f = cfg.output + f"tmp/edges_{cfg.sequence_start + (a - ref) * skip}.dat"
-        match_f = (cfg.output + f"tmp/matches_{cfg.sequence_start + (a - ref) * skip}"
-                   f"_{cfg.sequence_start + (b - ref) * skip}.dat")
-        if os.path.exists(edges_f):
-            edges = read_edges(edges_f, w, h)
-        else:
-            edges = np.asarray(detect_edges(jnp.asarray(src8)))
-        if os.path.exists(match_f):
-            matches = read_matches(match_f)
-        else:
-            radius = int(min(64, max(8, math.ceil(
-                cfg.parameter("max_flow", "50", float) if cfg.exists("max_flow")
-                else 50))))
-            matches = grid_matches(src8, dst8, radius=radius)
-        imlab = np.asarray(rgb_to_lab(jnp.asarray(src8)))
-        return _epic_init(imlab, edges, matches, epic_params, (h, w), steps,
-                          dm_scale)
+        edges = read_edges(edges_f, w, h) if os.path.exists(edges_f) \
+            else edges_all[pre[a]]
+        return _epic_init(lab_all[pre[a]], edges, matches, epic_params,
+                          (h, w), steps, dm_scale,
+                          saliency_map=sal_all[pre[a]])
 
     # ------------------------------------------------------- per-jet batches
     def output_name(j, backward):
@@ -356,6 +412,19 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             name = (fmt_flow % (start + off, 0)) + suffix + ".flo"
         return os.path.join(cfg.output, name)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def compute_inits(group, backward):
+        """Host+small-device part of the EPIC init for one jet group; runs on
+        the prefetch thread so it overlaps the previous group's device solve
+        (the reference hides this cost inside OpenMP-over-jets,
+        slow_flow.cpp:706)."""
+        matches = group_matches(group, backward)
+        inits = [epic_flow_init(j, backward, matches[j]) for j in group]
+        return (np.stack([ini[0] for ini in inits]),
+                np.stack([ini[1] for ini in inits]))
+
+    tasks = []
     for backward in (False, True):
         pending = []
         for j in range(start_j, end_j):
@@ -365,15 +434,21 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
                       f"{j} already exists!")
                 continue
             pending.append(j)
-
         for i in range(0, len(pending), max(1, batch)):
-            group = pending[i:i + max(1, batch)]
+            tasks.append((backward, pending[i:i + max(1, batch)]))
+
+    executor = ThreadPoolExecutor(max_workers=max(1, threads or 2)) \
+        if enable_dm else None
+    init_futs = [executor.submit(compute_inits, group, backward)
+                 for backward, group in tasks] if enable_dm else None
+
+    try:
+        for ti, (backward, group) in enumerate(tasks):
             t0 = time.time()
-            windows = np.stack([jet_window(j, backward) for j in group])
+            windows = seq_dev[jnp.asarray(
+                [jet_window_idx(j, backward) for j in group])]
             if enable_dm:
-                inits = [epic_flow_init(j, backward) for j in group]
-                wx0 = np.stack([ini[0] for ini in inits])
-                wy0 = np.stack([ini[1] for ini in inits])
+                wx0, wy0 = init_futs[ti].result()
             else:
                 wx0 = np.zeros((len(group), h, w), np.float32)
                 wy0 = np.zeros((len(group), h, w), np.float32)
@@ -433,6 +508,9 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
                 results.append(f"{j * steps * skip}\t {dt / len(group):.1f}\n")
                 print(f"{'Backward' if backward else 'Forward'} flow jet {j} "
                       f"finished! ({dt / len(group):.1f} s)")
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=False, cancel_futures=True)
 
     with open(cfg.output + "results.info", "w") as fh:
         fh.write("SlowFlow variational estimation\n\n")

@@ -141,12 +141,14 @@ def _kernelize(dis, coef_kernel):
 
 
 def epic(imlab, matches, edges, params: EpicParams = EpicParams(),
-         max_iter_dt: int = 256):
+         max_iter_dt: int = 256, saliency_map=None):
     """Sparse-to-dense interpolation.
 
     imlab:   [3, H, W] Lab image (rgb_to_lab output)
     matches: [N, 4] (x1, y1, x2, y2)
     edges:   [H, W] edge cost map (modified in the reference; copied here)
+    saliency_map: optional precomputed saliency (batched callers compute it
+        for all frames in one dispatch instead of one per epic call)
     Returns flow [H, W, 2] float32.
     """
     import jax.numpy as jnp
@@ -168,7 +170,8 @@ def epic(imlab, matches, edges, params: EpicParams = EpicParams(),
 
     # 3. saliency filter
     if params.saliency_th and len(matches):
-        s = np.asarray(saliency_fn(jnp.asarray(imlab), 0.8, 1.0))
+        s = np.asarray(saliency_fn(jnp.asarray(imlab), 0.8, 1.0)) \
+            if saliency_map is None else np.asarray(saliency_map)
         keep = s[matches[:, 1].astype(int), matches[:, 0].astype(int)] \
             >= params.saliency_th
         matches = matches[keep]

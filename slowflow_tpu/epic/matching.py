@@ -92,16 +92,33 @@ def grid_matches(im1: np.ndarray, im2: np.ndarray, step: int = 8,
 
     Returns [N, 4] float32 (x1, y1, x2, y2), forward-backward checked.
     """
-    im1 = jnp.asarray(im1, jnp.float32)
-    im2 = jnp.asarray(im2, jnp.float32)
-    h, w = im1.shape[1:]
+    return grid_matches_batched(im1[None], im2[None], step, radius, patch_r,
+                                fb_threshold)[0]
+
+
+def grid_matches_batched(im1s, im2s, step: int = 8, radius: int = 32,
+                         patch_r: int = 4,
+                         fb_threshold: float = 2.0) -> list[np.ndarray]:
+    """Matches for a batch of [B, 3, H, W] pairs in ONE device dispatch —
+    the jet-batched replacement for per-pair DeepMatching invocations
+    (slow_flow.cpp:766-784 shells out once per jet)."""
+    im1s = jnp.asarray(im1s, jnp.float32)
+    im2s = jnp.asarray(im2s, jnp.float32)
+    h, w = im1s.shape[2:]
     ys_np, xs_np = np.mgrid[step // 2:h:step, step // 2:w:step]
     ys = jnp.asarray(ys_np.ravel())
     xs = jnp.asarray(xs_np.ravel())
 
-    dxf, dyf, fb_err = _grid_match_core(im1, im2, ys, xs, radius, patch_r)
+    core = jax.vmap(partial(_grid_match_core, radius=radius,
+                            patch_r=patch_r), in_axes=(0, 0, None, None))
+    dxf, dyf, fb_err = jax.jit(core)(im1s, im2s, ys, xs)
+    dxf = np.asarray(dxf)
+    dyf = np.asarray(dyf)
     keep = np.asarray(fb_err) <= fb_threshold
-    out = np.stack([xs_np.ravel(), ys_np.ravel(),
-                    xs_np.ravel() + np.asarray(dxf),
-                    ys_np.ravel() + np.asarray(dyf)], 1)
-    return out[keep].astype(np.float32)
+    out = []
+    for b in range(im1s.shape[0]):
+        m = np.stack([xs_np.ravel(), ys_np.ravel(),
+                      xs_np.ravel() + dxf[b],
+                      ys_np.ravel() + dyf[b]], 1)
+        out.append(m[keep[b]].astype(np.float32))
+    return out

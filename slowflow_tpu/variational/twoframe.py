@@ -198,3 +198,13 @@ def variational_twoframe(wx, wy, im1, im2, params: TwoFrameParams = TwoFramePara
     (wx, wy), _ = jax.lax.scan(outer_step, (wx, wy), None,
                                length=params.niter_outer)
     return wx, wy
+
+
+@partial(jax.jit, static_argnames=("params",))
+def variational_twoframe_batched(wx, wy, im1, im2,
+                                 params: TwoFrameParams = TwoFrameParams()):
+    """Batched refinement: one dispatch for B independent pairs
+    (the vmap replacement for adaptiveFR's OpenMP sample loop,
+    adaptiveFR.cpp:245,310-614). wx/wy: [B, H, W]; im1/im2: [B, 3, H, W]."""
+    return jax.vmap(partial(variational_twoframe, params=params))(
+        wx, wy, im1, im2)
