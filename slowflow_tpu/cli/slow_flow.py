@@ -462,25 +462,24 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             na = np.broadcast_to(norm_avg, (len(group), 3))
             ns = np.broadcast_to(norm_std, (len(group), 3))
 
-            # multi-chip: shard the jet batch across devices (pure DP over
-            # the jet axis — the TPU replacement for OpenMP-over-jets,
-            # slow_flow.cpp:706)
+            # multi-chip: shard the jet batch across devices via shard_map —
+            # pure DP over the jet axis with the fast Pallas kernels intact
+            # per shard (the TPU replacement for SSE x OpenMP-over-jets,
+            # slow_flow.cpp:706 + variational_mt.cpp:13-14)
             import jax
             args = (wx0, wy0, windows, cw, na, ns)
             n_dev = len(jax.devices())
-            pb_run = pb
             if n_dev > 1 and len(group) % n_dev == 0:
-                from dataclasses import replace as dc_replace
-
                 from ..parallel.mesh import make_mesh, shard_jet_batch
+                from ..variational.multiframe import variational_mt_sharded
                 mesh = make_mesh(n_jet=n_dev, n_sp=1)
                 args = shard_jet_batch(mesh, *args)
-                # the sharded batch axis must stay a mapped axis (unrolled
-                # per-jet indexing would gather jets across devices)
-                pb_run = dc_replace(pb, unroll_jets=False)
-            wx0s, wy0s, windows_s, cws, nas, nss = args
-            wx, wy, occ = variational_mt_batched(wx0s, wy0s, windows_s, pb_run,
-                                                 cws, nas, nss)
+                wx0s, wy0s, windows_s, cws, nas, nss = args
+                wx, wy, occ = variational_mt_sharded(
+                    wx0s, wy0s, windows_s, pb, mesh, cws, nas, nss)
+            else:
+                wx, wy, occ = variational_mt_batched(wx0, wy0, windows, pb,
+                                                     cw, na, ns)
             wx = np.asarray(wx) * steps
             wy = np.asarray(wy) * steps
             occ = np.asarray(occ)

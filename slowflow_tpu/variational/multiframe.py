@@ -769,9 +769,8 @@ def _rescale_flow(wx, wy, nh, nw):
     return wx, wy
 
 
-@partial(jax.jit, static_argnames=("p",))
-def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
-                         p: MultiFrameParams):
+def _mt_pipeline(wx, wy, seq, channel_w, norm_avg, norm_std,
+                 p: MultiFrameParams):
     """Whole coarse-to-fine batched solve as ONE compiled program: pyramid
     construction, per-level alternating minimization, and flow upscaling all
     fuse into a single dispatch (eager op-by-op execution pays per-op
@@ -816,6 +815,60 @@ def _mt_pipeline_batched(wx, wy, seq, channel_w, norm_avg, norm_std,
             cw_pyr[level] if p.layers > 1 else channel_w,
             norm_avg, norm_std)
     return wx, wy, occ
+
+
+_mt_pipeline_batched = partial(jax.jit, static_argnames=("p",))(_mt_pipeline)
+
+
+def _sharded_pipeline(p: MultiFrameParams, mesh, _cache={}):
+    """shard_map of the full pipeline over the mesh's `jet` axis: each device
+    runs the UNROLLED per-jet body — so the Pallas shift-warp and fused
+    derivative/IRLS kernels apply per shard, composing the fast kernels with
+    data parallelism exactly like the reference composes SSE inner loops with
+    OpenMP-over-jets (slow_flow.cpp:706 + variational_mt.cpp:13-14)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (p, mesh)
+    if key in _cache:
+        return _cache[key]
+    spec = P("jet")
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axes
+    # metadata; the body is per-jet local with no collectives, so the VMA
+    # check adds nothing here
+    fn = jax.jit(jax.shard_map(
+        partial(_mt_pipeline, p=p), mesh=mesh,
+        in_specs=(spec,) * 6, out_specs=(spec,) * 3, check_vma=False))
+    _cache[key] = fn
+    return fn
+
+
+def variational_mt_sharded(wx, wy, seq, p: MultiFrameParams, mesh,
+                           channel_w=None, norm_avg=None, norm_std=None):
+    """Multi-chip jet-parallel minimization with the fast single-chip kernels
+    intact: the batch axis is sharded over `mesh`'s `jet` axis via shard_map
+    and each device unrolls its local jets (no cross-jet communication
+    exists, so out-shardings are pure data parallelism).
+
+    Requires batch % n_jet == 0 and mesh sp extent 1 (spatial sharding goes
+    through `parallel.mesh.sharded_jet_step`'s XLA-partitioned path instead).
+    """
+    seq = jnp.asarray(seq, jnp.float32)
+    wx = jnp.asarray(wx, jnp.float32)
+    wy = jnp.asarray(wy, jnp.float32)
+    b, f, c, h, w = seq.shape
+    assert f == 2 * p.ref + 1, (f, p.ref)
+    n_jet = mesh.shape["jet"]
+    assert b % n_jet == 0, (b, n_jet)
+    if channel_w is None:
+        channel_w = jnp.ones((b, 3, h, w), jnp.float32)
+    if norm_avg is None:
+        norm_avg = jnp.zeros((b, 3), jnp.float32)
+    if norm_std is None:
+        norm_std = jnp.ones((b, 3), jnp.float32)
+    # inside the shard the unroll decision sees the LOCAL batch (b // n_jet),
+    # so the <=16 unroll cap applies per device automatically
+    return _sharded_pipeline(p, mesh)(wx, wy, seq, channel_w,
+                                      norm_avg, norm_std)
 
 
 def variational_mt_batched(wx, wy, seq, p: MultiFrameParams,

@@ -2,11 +2,10 @@
 
 The CLI auto-shards a jet batch over the device mesh when the group size is
 divisible by the device count (cli/slow_flow.py, the TPU replacement for
-OpenMP-over-jets at slow_flow.cpp:706). Running the same config with a
-divisible batch (sharded vmap path, banded warp, XLA assembly) and an
-indivisible one (single-device unrolled path, shift warp + fused pallas
-kernels in interpret mode) must produce the same flow fields — this pins
-the sharded code path end-to-end, occlusion reasoning included.
+OpenMP-over-jets at slow_flow.cpp:706). The sharded path runs the SAME
+unrolled shift-warp + fused-Pallas body per shard via shard_map
+(variational_mt_sharded), so sharded vs single-device outputs must agree
+BITWISE — any deviation means the sharding itself perturbed the math.
 """
 import textwrap
 
@@ -80,10 +79,9 @@ def test_sharded_batch_matches_single_device(seq):
         single = str(tmp_path / "single" / os.path.basename(f))
         a = np.asarray(read_flo(f))
         b = np.asarray(read_flo(single))
-        # sharded (banded warp, XLA assembly) vs unrolled (shift warp,
-        # fused pallas): same math, different kernels — float-level agreement
-        np.testing.assert_allclose(a, b, rtol=0, atol=2e-3,
-                                   err_msg=os.path.basename(f))
+        # shard_map runs the identical unrolled kernel body per shard, so
+        # sharding must not change a single bit
+        np.testing.assert_array_equal(a, b, err_msg=os.path.basename(f))
         if f.endswith("_back.flo"):
             continue
         # and the solve recovered the true motion

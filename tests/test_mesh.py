@@ -73,3 +73,26 @@ def test_dryrun_multichip_inprocess():
         os.path.abspath(__file__))))
     import __graft_entry__ as g
     g._dryrun_body(len(jax.devices()))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shard_map_jet_axis_bitwise_vs_single():
+    """variational_mt_sharded (shard_map over jet, unrolled Pallas body per
+    shard) must match the single-device unrolled pipeline BITWISE: the
+    per-jet math is identical, only the placement differs. This pins
+    sharded-vs-unsharded across device counts (1 vs 8) separately from any
+    kernel-difference tolerance."""
+    from slowflow_tpu.variational.multiframe import (
+        variational_mt_batched, variational_mt_sharded)
+
+    p = MultiFrameParams(S=3, rho=(1.0, 1.0), omega=(0.0, 2.0), layers=2,
+                         niter_alter=2, niter_outer=3, niter_solver=10,
+                         occlusion_reasoning=True, smoothing=1)
+    args = _inputs(8, 3, 48, 64)
+    mesh = make_mesh(n_jet=8, n_sp=1)
+    wx, wy, seq, cw, na, ns = args
+    sharded = variational_mt_sharded(wx, wy, seq, p, mesh, cw, na, ns)
+    single = variational_mt_batched(wx, wy, seq, p, cw, na, ns)
+    for a, b, name in zip(sharded, single, ("wx", "wy", "occ")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
