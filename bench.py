@@ -153,12 +153,15 @@ def _cpu_baseline_once(h, w, p):
 
 def dt_final_pair_seconds(h=270, w=480, jets=10, seed=0):
     """Stage-3 dense tracking at the production shape (Jets=10, working
-    resolution, capacity 16, 5 alternations, 20 tryouts): seconds per final
-    frame pair and the recovered-flow error."""
+    resolution, capacity 16, 5 alternations, 20 tryouts, EPIC-interpolated
+    hypotheses ON — the production default, driver.py TrackingConfig):
+    seconds per final frame pair and the recovered-flow error."""
     import jax.numpy as jnp
 
     from slowflow_tpu.core.conv import DERIV_5PT, conv_horiz, conv_vert
-    from slowflow_tpu.core.image import normalize_sequence
+    from slowflow_tpu.core.image import normalize_sequence, rgb_to_lab
+    from slowflow_tpu.epic import EpicParams
+    from slowflow_tpu.epic.edges import detect_edges
     from slowflow_tpu.tracking.driver import TrackingConfig, track_final_pair
 
     u, v = 1.5, -0.8
@@ -185,13 +188,17 @@ def dt_final_pair_seconds(h=270, w=480, jets=10, seed=0):
 
     cfg = TrackingConfig(jets=jets, rates=1, skip_pixel=1, capacity=16,
                          alternate=5, hyp_neigh_tryouts=20,
-                         epic_interpolation=False, seed=1)
+                         epic_interpolation=True, seed=1)
     rate_flows = [(fwd, bwd, None)]
+    im0 = jnp.asarray(frames[0])
+    epic_ctx = (np.asarray(rgb_to_lab(im0)),
+                np.asarray(detect_edges(im0)), EpicParams.sintel())
 
     def run(c):
         t0 = time.perf_counter()
         flow, occ, info = track_final_pair(c, rate_flows, fwd, bwd, None,
-                                           data, data_dx, data_dy, sw)
+                                           data, data_dx, data_dy, sw,
+                                           epic_ctx=epic_ctx)
         return time.perf_counter() - t0, flow
 
     # a 2-alternation pass compiles every kernel (the alternation loop is
@@ -208,6 +215,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--no-dt", action="store_true",
                     help="skip the dense-tracking stage metric")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="skip the end-to-end CLI pipeline metric")
     ap.add_argument("--height", type=int, default=270)
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--small", action="store_true",
@@ -276,6 +285,33 @@ def main():
         dt_wall, dt_err = dt_final_pair_seconds()
         out["dt_seconds_per_final_pair"] = round(dt_wall, 2)
         out["dt_flow_err_px"] = round(dt_err, 3)
+
+    # end-to-end pipeline through the REAL CLIs (adaptive_fr -> slow_flow ->
+    # dense_tracking) on a teaser-shaped sequence — the number the north
+    # star is defined on; compact shape here, tools/bench_pipeline.py scales
+    # to the full 225-jet teaser
+    if not (args.no_pipeline or args.small):
+        try:
+            from pathlib import Path
+
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from bench_pipeline import run_pipeline
+            out["pipeline"] = run_pipeline(Path("/tmp/bench_pipeline_run"),
+                                           jets=8, finals=1, samples=2)
+        except Exception as e:  # never lose the kernel numbers to stage 3
+            out["pipeline_error"] = repr(e)[:200]
+
+    # roofline accounting (tools/roofline.py caches its JSON when run)
+    for rf in ("/tmp/roofline.json",
+               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "roofline_measured.json")):
+        if os.path.exists(rf):
+            with open(rf) as fh:
+                r = json.load(fh)
+            out["roofline"] = {k: r[k] for k in
+                               ("outer_iter_ms", "vpu_util", "hbm_util")}
+            break
     print(json.dumps(out))
 
 

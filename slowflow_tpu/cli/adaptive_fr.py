@@ -140,22 +140,42 @@ def run_folder(path, folder, fmt="%07i.tif", scale=0.25, skip=2, samples=40,
     t_est = time.time()
     refined = {}
     if todo:
+        import jax
         import jax.numpy as jnp
 
+        from ..epic import epic_batched
+        from ..epic.matching import grid_matches_batched
         from ..variational.twoframe import variational_twoframe_batched
 
-        inits = []
-        for seq_start_i, _, imgs in todo:
-            edges_f = output + f"tmp/edges_{seq_start_i}.dat"
+        # per-sample Lab + edges in one batched dispatch each
+        im1s = np.stack([r[2][0] for r in todo])
+        lab_all = np.asarray(jax.jit(jax.vmap(rgb_to_lab))(
+            jnp.asarray(im1s, jnp.float32)))
+        edges_all = np.asarray(jax.jit(jax.vmap(detect_edges))(
+            jnp.asarray(im1s, jnp.float32)))
+
+        jobs = []
+        match_missing = []
+        matches_by_i = {}
+        for i, (seq_start_i, _, imgs) in enumerate(todo):
             match_f = (output
                        + f"tmp/matches_{seq_start_i}_{seq_start_i + skip}.dat")
+            if os.path.exists(match_f):
+                matches_by_i[i] = read_matches(match_f)
+            else:
+                match_missing.append(i)
+        if match_missing:
+            res = grid_matches_batched(
+                np.stack([todo[i][2][0] for i in match_missing]),
+                np.stack([todo[i][2][1] for i in match_missing]))
+            for i, m in zip(match_missing, res):
+                matches_by_i[i] = m
+        for i, (seq_start_i, _, imgs) in enumerate(todo):
+            edges_f = output + f"tmp/edges_{seq_start_i}.dat"
             edges = read_edges(edges_f, imgs[0].shape[2], imgs[0].shape[1]) \
-                if os.path.exists(edges_f) else \
-                np.asarray(detect_edges(jnp.asarray(imgs[0])))
-            matches = read_matches(match_f) if os.path.exists(match_f) \
-                else grid_matches(imgs[0], imgs[1])
-            imlab = np.asarray(rgb_to_lab(jnp.asarray(imgs[0])))
-            inits.append(epic(imlab, matches, edges, epic_params))
+                if os.path.exists(edges_f) else edges_all[i]
+            jobs.append((lab_all[i], matches_by_i[i], edges, None))
+        inits = epic_batched(jobs, epic_params)
 
         wx0 = jnp.asarray(np.stack([i[..., 0] for i in inits]))
         wy0 = jnp.asarray(np.stack([i[..., 1] for i in inits]))

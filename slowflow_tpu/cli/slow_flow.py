@@ -116,15 +116,11 @@ def compute_rates(quantil, hfr_quantil, lfr_rate_mult, keyframes, steps):
     return hfr_rate, lfr_rate
 
 
-def _epic_init(im_ref_lab, edges, matches, epic_params, target_hw, steps,
-               dm_scale, saliency_map=None):
-    """EPIC interpolation producing the variational initialization, rescaled
-    to the working resolution and divided by `steps`
+def _epic_post(flow, target_hw, steps):
+    """Rescale an EPIC flow to the working resolution and divide by `steps`
     (slow_flow.cpp:800-843)."""
     import jax.numpy as jnp
 
-    flow = epic(im_ref_lab, matches, edges, epic_params,
-                saliency_map=saliency_map)
     h, w = target_hw
     fh, fw = h / flow.shape[0], w / flow.shape[1]
     if (fh, fw) != (1.0, 1.0):
@@ -391,16 +387,19 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
                 out[j] = m
         return out
 
-    def epic_flow_init(j, backward, matches):
-        """EPIC init for one jet from the precomputed per-frame maps; SED
-        edge files are ingested from tmp/ when present."""
-        a, _ = _jet_frames(j, backward)
-        edges_f = cfg.output + f"tmp/edges_{cfg.sequence_start + (a - ref) * skip}.dat"
-        edges = read_edges(edges_f, w, h) if os.path.exists(edges_f) \
-            else edges_all[pre[a]]
-        return _epic_init(lab_all[pre[a]], edges, matches, epic_params,
-                          (h, w), steps, dm_scale,
-                          saliency_map=sal_all[pre[a]])
+    def epic_jobs(group, backward, matches):
+        """EPIC jobs for a jet group from the precomputed per-frame maps;
+        SED edge files are ingested from tmp/ when present."""
+        jobs = []
+        for j in group:
+            a, _ = _jet_frames(j, backward)
+            edges_f = (cfg.output
+                       + f"tmp/edges_{cfg.sequence_start + (a - ref) * skip}.dat")
+            edges = read_edges(edges_f, w, h) if os.path.exists(edges_f) \
+                else edges_all[pre[a]]
+            jobs.append((lab_all[pre[a]], matches[j], edges,
+                         sal_all[pre[a]]))
+        return jobs
 
     # ------------------------------------------------------- per-jet batches
     def output_name(j, backward):
@@ -418,9 +417,14 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
         """Host+small-device part of the EPIC init for one jet group; runs on
         the prefetch thread so it overlaps the previous group's device solve
         (the reference hides this cost inside OpenMP-over-jets,
-        slow_flow.cpp:706)."""
+        slow_flow.cpp:706). The group's matches and both geodesic DTs are
+        single batched dispatches."""
+        from ..epic import epic_batched
+
         matches = group_matches(group, backward)
-        inits = [epic_flow_init(j, backward, matches[j]) for j in group]
+        flows = epic_batched(epic_jobs(group, backward, matches),
+                             epic_params)
+        inits = [_epic_post(f, (h, w), steps) for f in flows]
         return (np.stack([ini[0] for ini in inits]),
                 np.stack([ini[1] for ini in inits]))
 

@@ -150,6 +150,60 @@ def seed_graph(labels: np.ndarray, dmap: np.ndarray, ns: int):
     return indptr, cols.astype(np.int32), vals
 
 
+def _dt_batched(cost, seed_dist, seed_labels, max_iter: int, _cache={}):
+    """vmapped distance transform: one dispatch for a batch of images (the
+    convergence check runs until the slowest item settles)."""
+    if max_iter not in _cache:
+        _cache[max_iter] = jax.jit(
+            jax.vmap(partial(distance_transform, max_iter=max_iter)))
+    return _cache[max_iter](cost, seed_dist, seed_labels)
+
+
+def dist_trf_nnfield_batched(seeds_list, cost_list, nn_list,
+                             max_iter: int = 256):
+    """Batched closest-seeds: B independent (seeds, cost) problems solved by
+    ONE device dispatch + ONE fetch (each round trip costs ~70 ms on the
+    tunneled backend; per-jet EPIC inits were paying 2 of them per DT).
+
+    Returns a list of (best [ns, nn], dist [ns, nn], labels, dmap) tuples.
+    """
+    B = len(seeds_list)
+    h, w = np.asarray(cost_list[0]).shape
+    sd = np.full((B, h, w), BIG, np.float32)
+    sl = np.full((B, h, w), -1, np.int32)
+    sxs, sys = [], []
+    for b, seeds in enumerate(seeds_list):
+        cost_b = np.asarray(cost_list[b])
+        sx = np.clip(seeds[:, 0].astype(np.int64), 0, w - 1)
+        sy = np.clip(seeds[:, 1].astype(np.int64), 0, h - 1)
+        # later seeds win on collisions (reference loop order,
+        # epic_aux.cpp:304-308)
+        sd[b][sy, sx] = cost_b[sy, sx]
+        sl[b][sy, sx] = np.arange(len(seeds), dtype=np.int32)
+        sxs.append(sx)
+        sys.append(sy)
+
+    cost_stack = jnp.asarray(np.stack([np.asarray(c, np.float32)
+                                       for c in cost_list]))
+    dmaps, labels = _dt_batched(cost_stack, jnp.asarray(sd),
+                                jnp.asarray(sl), max_iter)
+    both = np.asarray(jnp.concatenate(
+        [dmaps[:, None], labels.astype(jnp.float32)[:, None]], 1))
+    out = []
+    for b in range(B):
+        dmap = both[b, 0]
+        lab = both[b, 1].astype(np.int32)
+        ns = len(seeds_list[b])
+        indptr, indices, data = seed_graph(lab, dmap, ns)
+        nnf, dis = knn_graph_all(indptr, indices, data, nn_list[b])
+        d_at_seed = dmap[sys[b], sxs[b]]
+        lab_at_seed = lab[sys[b], sxs[b]]
+        best = nnf[lab_at_seed]
+        dist = d_at_seed[:, None] + dis[lab_at_seed]
+        out.append((best, dist, lab, dmap))
+    return out
+
+
 def dist_trf_nnfield(seeds: np.ndarray, cost: np.ndarray, nn: int,
                      max_iter: int = 256):
     """Closest seeds by geodesic distance (dist_trf_nnfield_subset,
@@ -158,32 +212,4 @@ def dist_trf_nnfield(seeds: np.ndarray, cost: np.ndarray, nn: int,
     seeds: [ns, 2] int (x, y); cost: [H, W] float32.
     Returns (best [ns, nn], dist [ns, nn], labels [H, W], dmap [H, W]).
     """
-    h, w = cost.shape
-    ns = len(seeds)
-    seed_dist = np.full((h, w), BIG, np.float32)
-    seed_labels = np.full((h, w), -1, np.int32)
-    sx = np.clip(seeds[:, 0].astype(np.int64), 0, w - 1)
-    sy = np.clip(seeds[:, 1].astype(np.int64), 0, h - 1)
-    # later seeds win on collisions (reference loop order, epic_aux.cpp:304-308)
-    seed_dist[sy, sx] = np.asarray(cost)[sy, sx]
-    seed_labels[sy, sx] = np.arange(ns, dtype=np.int32)
-
-    dmap, labels = distance_transform(
-        jnp.asarray(cost, jnp.float32), jnp.asarray(seed_dist),
-        jnp.asarray(seed_labels), max_iter=max_iter)
-    # one combined fetch: device->host round trips cost ~70 ms each on the
-    # tunneled backend, regardless of size
-    both = np.asarray(jnp.concatenate(
-        [dmap[None], labels.astype(jnp.float32)[None]]))
-    dmap = both[0]
-    labels = both[1].astype(np.int32)
-
-    indptr, indices, data = seed_graph(labels, dmap, ns)
-    nnf, dis = knn_graph_all(indptr, indices, data, nn)
-
-    # queries are the seeds: distance at the query pixel plus graph distance
-    d_at_seed = dmap[sy, sx]
-    lab_at_seed = labels[sy, sx]
-    best = nnf[lab_at_seed]
-    dist = d_at_seed[:, None] + dis[lab_at_seed]
-    return best, dist, labels, dmap
+    return dist_trf_nnfield_batched([seeds], [cost], [nn], max_iter)[0]

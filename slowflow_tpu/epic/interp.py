@@ -151,59 +151,99 @@ def epic(imlab, matches, edges, params: EpicParams = EpicParams(),
         for all frames in one dispatch instead of one per epic call)
     Returns flow [H, W, 2] float32.
     """
+    return epic_batched([(imlab, matches, edges, saliency_map)], params,
+                        max_iter_dt)[0]
+
+
+def epic_batched(jobs, params: EpicParams = EpicParams(),
+                 max_iter_dt: int = 256):
+    """EPIC interpolation for a batch of independent problems.
+
+    jobs: list of (imlab, matches, edges, saliency_map-or-None). The two
+    geodesic distance transforms (consistency prefilter + interpolation
+    k-NN) run as ONE batched device dispatch each across the whole batch —
+    the jet-group equivalent of the per-jet `epic()` calls the reference
+    makes under OpenMP (slow_flow.cpp:819); host fits stay per job.
+    Returns a list of flow [H, W, 2] float32 arrays.
+    """
     import jax.numpy as jnp
 
-    imlab = np.asarray(imlab, np.float32)
-    _, h, w = imlab.shape
-    matches = np.asarray(matches, np.float32).reshape(-1, 4).copy()
-    edges = np.asarray(edges, np.float32).copy()
+    from .distance import dist_trf_nnfield_batched
 
-    # 1. rectify (epic.cpp:15-28)
-    matches[:, 0] = np.clip(matches[:, 0], 0, w - 1)
-    matches[:, 1] = np.clip(matches[:, 1], 0, h - 1)
-    matches[:, 2] = np.clip(matches[:, 2], 0, w - 1)
-    matches[:, 3] = np.clip(matches[:, 3], 0, h - 1)
+    B = len(jobs)
+    state = []
+    for imlab, matches, edges, saliency_map in jobs:
+        imlab = np.asarray(imlab, np.float32)
+        _, h, w = imlab.shape
+        matches = np.asarray(matches, np.float32).reshape(-1, 4).copy()
+        edges = np.asarray(edges, np.float32).copy()
 
-    # 2. edge cost offset
-    if params.euc:
-        edges = edges + params.euc
+        # 1. rectify (epic.cpp:15-28)
+        matches[:, 0] = np.clip(matches[:, 0], 0, w - 1)
+        matches[:, 1] = np.clip(matches[:, 1], 0, h - 1)
+        matches[:, 2] = np.clip(matches[:, 2], 0, w - 1)
+        matches[:, 3] = np.clip(matches[:, 3], 0, h - 1)
 
-    # 3. saliency filter
-    if params.saliency_th and len(matches):
-        s = np.asarray(saliency_fn(jnp.asarray(imlab), 0.8, 1.0)) \
-            if saliency_map is None else np.asarray(saliency_map)
-        keep = s[matches[:, 1].astype(int), matches[:, 0].astype(int)] \
-            >= params.saliency_th
-        matches = matches[keep]
+        # 2. edge cost offset
+        if params.euc:
+            edges = edges + params.euc
 
-    # 4. consistency prefilter
-    if params.pref_nn and len(matches) > 1:
-        nns = min(params.pref_nn + 1, len(matches))
-        seeds = matches[:, :2].astype(np.int32)
-        vects = matches[:, 2:4] - matches[:, :2]
-        nnf, dis, _, _ = dist_trf_nnfield(seeds, edges, nns, max_iter_dt)
-        dis = _kernelize(dis, params.coef_kernel)
-        est = fit_nadarayawatson(nnf, dis, vects)
-        keep = ((est - vects) ** 2).sum(1) < params.pref_th ** 2
-        matches = matches[keep]
+        # 3. saliency filter
+        if params.saliency_th and len(matches):
+            s = np.asarray(saliency_fn(jnp.asarray(imlab), 0.8, 1.0)) \
+                if saliency_map is None else np.asarray(saliency_map)
+            keep = s[matches[:, 1].astype(int), matches[:, 0].astype(int)] \
+                >= params.saliency_th
+            matches = matches[keep]
+        state.append(dict(matches=matches, edges=edges, hw=(h, w)))
 
-    if len(matches) == 0:
-        return np.zeros((h, w, 2), np.float32)
+    # 4. consistency prefilter (one batched DT over eligible jobs)
+    if params.pref_nn:
+        idx = [b for b in range(B) if len(state[b]["matches"]) > 1]
+        if idx:
+            res = dist_trf_nnfield_batched(
+                [state[b]["matches"][:, :2].astype(np.int32) for b in idx],
+                [state[b]["edges"] for b in idx],
+                [min(params.pref_nn + 1, len(state[b]["matches"]))
+                 for b in idx], max_iter_dt)
+            for b, (nnf, dis, _, _) in zip(idx, res):
+                m = state[b]["matches"]
+                vects = m[:, 2:4] - m[:, :2]
+                disk = _kernelize(dis, params.coef_kernel)
+                est = fit_nadarayawatson(nnf, disk, vects)
+                keep = ((est - vects) ** 2).sum(1) < params.pref_th ** 2
+                state[b]["matches"] = m[keep]
 
-    # 5. geodesic k-NN for the interpolation
-    nns = min(params.nn, len(matches))
-    seeds = matches[:, :2].astype(np.int32)
-    vects = matches[:, 2:4] - matches[:, :2]
-    nnf, dis, labels, _ = dist_trf_nnfield(seeds, edges, nns, max_iter_dt)
-    dis = _kernelize(dis, params.coef_kernel)
+    # 5. geodesic k-NN for the interpolation (one batched DT)
+    flows = [None] * B
+    idx = [b for b in range(B) if len(state[b]["matches"])]
+    for b in range(B):
+        if b not in idx:
+            h, w = state[b]["hw"]
+            flows[b] = np.zeros((h, w, 2), np.float32)
+    if idx:
+        res = dist_trf_nnfield_batched(
+            [state[b]["matches"][:, :2].astype(np.int32) for b in idx],
+            [state[b]["edges"] for b in idx],
+            [min(params.nn, len(state[b]["matches"])) for b in idx],
+            max_iter_dt)
+        for b, (nnf, dis, labels, _) in zip(idx, res):
+            m = state[b]["matches"]
+            h, w = state[b]["hw"]
+            seeds = m[:, :2].astype(np.int32)
+            vects = m[:, 2:4] - m[:, :2]
+            disk = _kernelize(dis, params.coef_kernel)
 
-    # 6-7. fit + apply
-    if params.method.upper() == "LA":
-        affine = fit_localaffine(nnf, dis, seeds.astype(np.float32), vects)
-        flow = apply_localaffine(affine, labels, h, w)
-    elif params.method.upper() == "NW":
-        sv = fit_nadarayawatson(nnf, dis, vects)
-        flow = apply_nadarayawatson(sv.astype(np.float32), labels)
-    else:
-        raise ValueError(f"unknown interpolation method {params.method}")
-    return flow.astype(np.float32)
+            # 6-7. fit + apply
+            if params.method.upper() == "LA":
+                affine = fit_localaffine(nnf, disk, seeds.astype(np.float32),
+                                         vects)
+                flow = apply_localaffine(affine, labels, h, w)
+            elif params.method.upper() == "NW":
+                sv = fit_nadarayawatson(nnf, disk, vects)
+                flow = apply_nadarayawatson(sv.astype(np.float32), labels)
+            else:
+                raise ValueError(
+                    f"unknown interpolation method {params.method}")
+            flows[b] = flow.astype(np.float32)
+    return flows

@@ -636,10 +636,15 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
             group, len(weight_jet), p_it == 0, xy_incr, xy_start)
         extra = (occ_masks,) if occ_masks is not None else ()
         key = jax.random.PRNGKey(cfg.seed)
+        t0 = _time.time()
         bank = propagate(bank, jax.random.fold_in(key, p_it), consistent_j,
                          forward_j, backward_j, data_j, ddx_j, ddy_j,
                          weight_jet_j, *extra)
         bank = nms_k(bank)
+        jax.block_until_ready(bank["energy"])
+        # candidate-energy evaluation = the reference's dt_sum_time row
+        # (dense_tracking.cpp:336,1571)
+        timing["data"] += _time.time() - t0
 
         t0 = _time.time()
         unary = unary_of(bank)

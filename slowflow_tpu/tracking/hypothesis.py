@@ -243,9 +243,16 @@ def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams,
 
     For each pixel in a (2r+1)^2 window around p, sample image + gradients at
     the trajectory positions in all J+1 frames and sum |I_i - I_j| over all
-    visible frame pairs. Vectorized over hypotheses, window offsets and frame
+    visible frame pairs, vectorized over hypotheses, window offsets and frame
     pairs in one dispatch (the TPU replacement for the reference's quadruple
     loop).
+
+    Gather structure: the window offsets are integers, so every offset shares
+    the trajectory displacement's fractional part — instead of 4 bilinear
+    corner gathers per (plane, frame, offset), ONE (2r+2)^2 integer patch is
+    gathered per frame from the 9-channel stack [I|Ix|Iy] and the (2r+1)^2
+    bilinear values fall out as four shifted views of the patch (~7x fewer
+    gather ops, bit-identical values).
 
     data/data_dx/data_dy: [J+1, H, W, 3]; flows [..., J, 2]. `occ_masks`
     ([J, H, W], nonzero = visible — the jet occlusion maps when
@@ -274,20 +281,47 @@ def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams,
     center_inside = (base_x >= 0) & (base_x < w) & (base_y >= 0) & (base_y < h)
     inside = inside & center_inside
 
-    def sample_frame(t, carry):
-        I, Ix, Iy = carry
-        xc = jnp.clip(x[..., t], 0, w - 1)
-        yc = jnp.clip(y[..., t], 0, h - 1)
-        I = I.at[..., t, :].set(bilinear_sample(data[t], xc, yc))
-        Ix = Ix.at[..., t, :].set(bilinear_sample(data_dx[t], xc, yc))
-        Iy = Iy.at[..., t, :].set(bilinear_sample(data_dy[t], xc, yc))
-        return I, Ix, Iy
+    # patch-gather: one integer (2r+2)x(2r+2) read per frame on the stacked
+    # planes; window offsets reuse the shared fractional weights. Values at
+    # positions that fail `inside` are masked out below, and positions with
+    # x == w-1 (or y == h-1) zero their fx/fy gate exactly like
+    # bilinear_sample's clamp-at-border (utils.h:183-218).
+    stacked = jnp.concatenate([data, data_dx, data_dy], -1)   # [J+1, H, W, 9]
+    r_i = int(round(float(r)))
+    dgrid = jnp.arange(-r_i, r_i + 2)                          # [2r+2]
+    cx = px[..., None] + disp[..., 0]                          # [..., J+1]
+    cy = py[..., None] + disp[..., 1]
+    x0b = jnp.floor(cx).astype(jnp.int32)
+    y0b = jnp.floor(cy).astype(jnp.int32)
+    fx = jnp.clip(cx - x0b, 0.0, 1.0)                          # [..., J+1]
+    fy = jnp.clip(cy - y0b, 0.0, 1.0)
 
-    shape = x.shape + (3,)
-    I = jnp.zeros(shape, jnp.float32)
-    Ix = jnp.zeros(shape, jnp.float32)
-    Iy = jnp.zeros(shape, jnp.float32)
-    I, Ix, Iy = jax.lax.fori_loop(0, Jp1, sample_frame, (I, Ix, Iy))
+    def patch_frame(t, P):
+        ycg = jnp.clip(y0b[..., t, None, None] + dgrid[:, None], 0, h - 1)
+        xcg = jnp.clip(x0b[..., t, None, None] + dgrid[None, :], 0, w - 1)
+        return P.at[..., t, :, :, :].set(stacked[t][ycg, xcg])
+
+    ps = 2 * r_i + 2
+    P = jnp.zeros(x0b.shape + (ps, ps, 9), jnp.float32)
+    P = jax.lax.fori_loop(0, Jp1, patch_frame, P)              # [..., J+1, ps, ps, 9]
+
+    # per-offset corner gates (fx zeroed when the +1 column leaves the image)
+    gx = fx[..., None, :] * ((x0b[..., None, :] + ox[:, None].astype(jnp.int32)
+                              + 1) <= w - 1)                   # [..., Wd, J+1]
+    gy = fy[..., None, :] * ((y0b[..., None, :] + oy[:, None].astype(jnp.int32)
+                              + 1) <= h - 1)
+    oxi = (ox + r_i).astype(jnp.int32)                         # [Wd]
+    oyi = (oy + r_i).astype(jnp.int32)
+    # four shifted views of the patch at the window offsets
+    c00 = jnp.moveaxis(P[..., oyi, oxi, :], -2, -3)            # [..., Wd, J+1, 9]
+    c01 = jnp.moveaxis(P[..., oyi, oxi + 1, :], -2, -3)
+    c10 = jnp.moveaxis(P[..., oyi + 1, oxi, :], -2, -3)
+    c11 = jnp.moveaxis(P[..., oyi + 1, oxi + 1, :], -2, -3)
+    gx = gx[..., None]                                         # [..., Wd, J+1, 1]
+    gy = gy[..., None]
+    vals = (c00 * (1 - gx) * (1 - gy) + c01 * gx * (1 - gy)
+            + c10 * (1 - gx) * gy + c11 * gx * gy)             # [..., Wd, J+1, 9]
+    I, Ix, Iy = vals[..., 0:3], vals[..., 3:6], vals[..., 6:9]
 
     # visible = inside and not occluded; pair weight = vis_i * vis_j
     vis = inside & (occl[..., None, :Jp1] == 0)          # [..., Wd, J+1]

@@ -188,8 +188,11 @@ def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
 
     dt_jets = 200 // (20 * steps)          # jets per final pair
     dt_flow = read_flo(root / "dt_out" / f"frame_{START:04d}.flo")
-    dt_bg = np.hypot(dt_flow[inner][..., 0] - dt_jets * steps * U,
-                     dt_flow[inner][..., 1] - dt_jets * steps * V)
+    # final flow is in subsampled-grid units: the reference divides by
+    # xy_incr = acc_skip_pixel + 1 (dense_tracking.cpp:1856-1857)
+    xy_incr = 2.0
+    dt_bg = np.hypot(dt_flow[inner][..., 0] - dt_jets * steps * U / xy_incr,
+                     dt_flow[inner][..., 1] - dt_jets * steps * V / xy_incr)
     dt_err = float(np.median(dt_bg))
 
     solves = 2 * jets                       # forward + backward per jet
