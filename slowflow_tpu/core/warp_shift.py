@@ -138,7 +138,9 @@ def warp_stack_shift_parts(seq_nz, wx, wy, factors_nz, *, k_pairs=None,
                            kx_ks=(4, 12), r: int = R_STRIP,
                            interpret: bool = False):
     """Build the dispatch pieces for warping a stack of frames (no identity
-    frame) by per-frame `factors_nz`.
+    frame) by per-frame `factors_nz`. `wx`/`wy` may be [H, W] (shared flow,
+    the per-frame case) or [F, H, W] (per-item flow — used to flatten a jet
+    batch into the item axis); `_coords` broadcasts either shape.
 
     `k_pairs` is an ordered ladder of (kx, ky) variants, cheapest (fewest
     shift terms) first — anisotropic entries exploit that real video motion
@@ -262,4 +264,51 @@ def warp_stack_auto(seq, wx, wy, ref: int, *, kx_ks=(4, 12),
 
     factors_all = (jnp.arange(f_all, dtype=jnp.float32) - ref)
     *_, inside = _coords(wx, wy, factors_all, h, w)
+    return warped, inside.astype(jnp.float32)
+
+
+def warp_stack_auto_batched(seq, wx, wy, ref: int, *, kx_ks=(4, 12),
+                            r: int = R_STRIP, interpret: bool = False):
+    """Batched `warp_stack_auto`: seq [B, F, C, H, W], wx/wy [B, H, W].
+
+    One Pallas dispatch per frame offset covers the whole jet batch — the
+    batch flattens into the kernel's item axis, so the grid grows to
+    B * n_strips instead of issuing B separate programs. The shift-variant
+    switch is batch-global: `warp_stack_shift_parts` already reduces its
+    range/anchor checks over all items, and the variant ladder is nested
+    (each later (kx, ky) dominates the previous), so the shared choice is
+    exact for every jet in the batch.
+
+    Returns (warped [B, F, C, H, W], masks [B, F, H, W])."""
+    from .warp import warp_bilinear
+
+    seq = jnp.asarray(seq, jnp.float32)
+    b, f_all, c, h, w = seq.shape
+    nz = [k for k in range(f_all) if k != ref]
+
+    outs = {}
+    for k in nz:
+        fac = float(k - ref)
+        sel, branches = warp_stack_shift_parts(
+            seq[:, k], wx, wy, jnp.full((b,), fac, jnp.float32),
+            kx_ks=kx_ks, r=r, interpret=interpret)
+
+        def banded(_, k=k, fac=fac):
+            return jax.vmap(
+                lambda im, u, v: warp_bilinear(im, u, v, factor=fac,
+                                               with_mask=False)[0]
+            )(seq[:, k], wx, wy)
+
+        outs[k] = jax.lax.switch(sel, branches + [banded], None)  # [B,C,H,W]
+
+    warped = jnp.stack([seq[:, k] if k == ref else outs[k]
+                        for k in range(f_all)], axis=1)
+
+    factors_all = (jnp.arange(f_all, dtype=jnp.float32) - ref)
+    fb = factors_all[None, :, None, None]
+    xq = jnp.arange(w, dtype=jnp.float32)[None, None, None, :] \
+        + fb * wx[:, None]
+    yq = jnp.arange(h, dtype=jnp.float32)[None, None, :, None] \
+        + fb * wy[:, None]
+    inside = ((xq >= 0) & (xq <= w - 1) & (yq >= 0) & (yq <= h - 1))
     return warped, inside.astype(jnp.float32)

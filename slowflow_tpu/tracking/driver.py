@@ -358,8 +358,11 @@ def build_initial_hypotheses(bank, cfg: TrackingConfig, rate_flows,
     return bank, consistent
 def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
     """EPIC interpolation of each jet's consistent accumulated flow
-    (dense_tracking.cpp:1268-1350). Returns [h, w, r_jets, 2] or None."""
-    from ..epic import epic
+    (dense_tracking.cpp:1268-1350). The per-jet interpolations are
+    independent, so the geodesic distance transforms run as ONE batched
+    device dispatch across all jets (`epic_batched`) instead of the
+    reference's serial per-jet loop. Returns [h, w, r_jets, 2] or None."""
+    from ..epic import epic_batched
 
     imlab, edges, epic_params = epic_ctx
     r_jets, h, w = acc.shape[:3]
@@ -372,14 +375,25 @@ def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
     sx = xs[sel]
     sy = ys[sel]
 
-    out = np.zeros((h, w, r_jets, 2), np.float32)
+    sal = None
+    if epic_params.saliency_th:
+        import jax.numpy as jnp
+
+        from ..core.image import saliency as saliency_fn
+
+        sal = np.asarray(saliency_fn(jnp.asarray(imlab), 0.8, 1.0))
+    jobs = []
     for j in range(r_jets):
         m = np.stack([
             sx, sy,
             sx + acc[j][sy, sx, 0] / xy_incr,
             sy + acc[j][sy, sx, 1] / xy_incr,
         ], 1).astype(np.float32)
-        flow = epic(imlab, m, edges, epic_params)
+        jobs.append((imlab, m, edges, sal))
+    flows = epic_batched(jobs, epic_params)
+
+    out = np.zeros((h, w, r_jets, 2), np.float32)
+    for j, flow in enumerate(flows):
         out[:, :, j, 0] = flow[:h, :w, 0] * xy_incr
         out[:, :, j, 1] = flow[:h, :w, 1] * xy_incr
     return out

@@ -103,7 +103,8 @@ def _yrepl(a, grow0, h: int):
 
 
 def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
-            p, mode: str, r: int, wp: int, w_img: int, h_img: int):
+            p, mode: str, r: int, wp: int, w_img: int, h_img: int,
+            n_r: int):
     """One row strip. w_ref: [1, F, 3, win_h, Wp] edge-replicated halo-4
     windows; mask_ref: [1, N, r, Wp] (gated for assembly, raw for occ);
     outputs are [1, r, Wp] planes."""
@@ -158,7 +159,8 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
             iy = _c5y(tmp)
             # second same-direction convs clamp taps on the *plane*
             from jax.experimental import pallas as pl
-            grow0 = pl.program_id(0) * r - EXT
+            # grid may be flattened over (batch, strip): strip = id % n_r
+            grow0 = (pl.program_id(0) % n_r) * r - EXT
             stacks.append((ix, iy, izf,
                            _c5x(_xrepl(ix, w_img)),
                            _c5y(ix),
@@ -277,45 +279,55 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
         out_refs[1][0] = DT_SCALE_GRAPHC * e1 / n1 + p.occlusion_penalty
 
 
-def fused_data_system(warped, mask, du, dv, channel_w, p, mode="assembly",
-                      r: int = R_STRIP, interpret: bool = False):
-    """warped: [2*ref+1, 3, H, W]; mask: [2*ref, H, W] (gated for assembly,
-    raw for occ); du/dv: [H, W]; channel_w: [3, H, W].
+def fused_data_system_batched(warped, mask, du, dv, channel_w, p,
+                              mode="assembly", r: int = R_STRIP,
+                              interpret: bool = False):
+    """Batched fused assembly: warped [B, 2*ref+1, 3, H, W], mask
+    [B, 2*ref, H, W], du/dv [B, H, W], channel_w [B, 3, H, W]. The jet batch
+    flattens into the strip grid (B * n_strips steps, identical per-strip
+    blocks), so one dispatch covers the whole batch.
 
-    mode="assembly" -> (a11, a12, a22, b1, b2); mode="occ" -> (e0, e1)."""
+    mode="assembly" -> (a11, a12, a22, b1, b2) each [B, H, W];
+    mode="occ" -> (e0, e1)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    f, c, h, w = warped.shape
+    b, f, c, h, w = warped.shape
     n = 2 * p.ref
     r = min(r, _round_up(h, 8))
     n_r = -(-h // r)
     hp = n_r * r
     wp = _round_up(w + 2 * EXT, 128)
     win_h = r + 2 * EXT
+    nb = b * n_r
 
     # halo-4 edge-replicated strip windows: static slices, no gather
-    wpad = jnp.pad(warped, ((0, 0), (0, 0),
+    wpad = jnp.pad(warped, ((0, 0), (0, 0), (0, 0),
                             (EXT, EXT + hp - h + EXT), (EXT, wp - w - EXT)),
                    mode="edge")
-    windows = jnp.stack([wpad[:, :, s * r:s * r + win_h, :]
-                         for s in range(n_r)])        # [n_r, F, 3, win_h, Wp]
+    windows = jnp.stack([wpad[:, :, :, s * r:s * r + win_h, :]
+                         for s in range(n_r)],
+                        axis=1)               # [B, n_r, F, 3, win_h, Wp]
+    windows = windows.reshape(nb, f, c, win_h, wp)
 
     def padp(a, fill=0.0):
         pads = [(0, 0)] * (a.ndim - 2) + [(0, hp - h), (0, wp - w)]
         return jnp.pad(a, pads, constant_values=fill)
 
-    mask_p = padp(mask)
-    du_p = padp(du)
-    dv_p = padp(dv)
-    cw_p = padp(channel_w)
+    mask_p = padp(mask).reshape(b, n, n_r, r, wp) \
+        .transpose(0, 2, 1, 3, 4).reshape(nb, n, r, wp)
+    du_p = padp(du).reshape(nb, r, wp)
+    dv_p = padp(dv).reshape(nb, r, wp)
+    cw_p = padp(channel_w).reshape(b, c, n_r, r, wp) \
+        .transpose(0, 2, 1, 3, 4).reshape(nb, c, r, wp)
 
     pspec = pl.BlockSpec((1, r, wp), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM)
     n_out = 5 if mode == "assembly" else 2
     outs = pl.pallas_call(
-        partial(_kernel, p=p, mode=mode, r=r, wp=wp, w_img=w, h_img=h),
-        grid=(n_r,),
+        partial(_kernel, p=p, mode=mode, r=r, wp=wp, w_img=w, h_img=h,
+                n_r=n_r),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, f, c, win_h, wp), lambda s: (s, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -326,10 +338,19 @@ def fused_data_system(warped, mask, du, dv, channel_w, p, mode="assembly",
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pspec,) * n_out,
-        out_shape=(jax.ShapeDtypeStruct((n_r, r, wp), jnp.float32),) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((nb, r, wp), jnp.float32),) * n_out,
         interpret=interpret,
-    )(windows,
-      mask_p.reshape(n, n_r, r, wp).transpose(1, 0, 2, 3),
-      du_p.reshape(n_r, r, wp), dv_p.reshape(n_r, r, wp),
-      cw_p.reshape(c, n_r, r, wp).transpose(1, 0, 2, 3))
-    return tuple(o.reshape(hp, wp)[:h, :w] for o in outs)
+    )(windows, mask_p, du_p, dv_p, cw_p)
+    return tuple(o.reshape(b, hp, wp)[:, :h, :w] for o in outs)
+
+
+def fused_data_system(warped, mask, du, dv, channel_w, p, mode="assembly",
+                      r: int = R_STRIP, interpret: bool = False):
+    """warped: [2*ref+1, 3, H, W]; mask: [2*ref, H, W] (gated for assembly,
+    raw for occ); du/dv: [H, W]; channel_w: [3, H, W].
+
+    mode="assembly" -> (a11, a12, a22, b1, b2); mode="occ" -> (e0, e1)."""
+    outs = fused_data_system_batched(
+        warped[None], mask[None], du[None], dv[None], channel_w[None], p,
+        mode=mode, r=r, interpret=interpret)
+    return tuple(o[0] for o in outs)

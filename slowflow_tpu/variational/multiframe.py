@@ -85,6 +85,21 @@ class MultiFrameParams:
                                             # batch axis is sharded over a
                                             # device mesh (per-jet indexing
                                             # would gather across devices)
+    jet_vmap: bool = False                  # route multi-jet batches through
+                                            # jax.vmap with the natively
+                                            # batched Pallas kernels (one
+                                            # dispatch covers the batch).
+                                            # Measured SLOWER than the unroll
+                                            # on this single-core chip (b=8:
+                                            # 1.9 vs 2.8 jets/s): the masked
+                                            # while_loop syncs every jet to
+                                            # the slowest and the warp
+                                            # variant is batch-global, while
+                                            # the pallas grid is sequential
+                                            # per core anyway. Kept for big
+                                            # batches (unroll compile cost
+                                            # grows linearly) and sharded
+                                            # local batches.
 
     @property
     def ref(self) -> int:
@@ -152,6 +167,79 @@ class MultiFrameParams:
 
 
 # --------------------------------------------------------------------------
+# batch-aware Pallas entry points
+# --------------------------------------------------------------------------
+# The shift warp and the fused data kernel are wrapped in jax.custom_batching
+# .custom_vmap: called unbatched they run the single-jet kernels; under
+# jax.vmap (the multi-jet batch path, incl. inside shard_map shards) the rule
+# swaps in the natively batched implementations, whose grids flatten the jet
+# batch into the strip axis. This is what lets `jax.vmap(compute_one_level)`
+# keep the fast kernels — the convergence while_loops batch with JAX's masked
+# semantics (per-jet results unchanged), while every kernel dispatch covers
+# the whole batch, converting the latency-bound idle time measured in
+# docs/PROFILING.md (§roofline: 15% VPU util at b=1) into throughput.
+
+
+def _broadcast_unbatched(axis_size, in_batched, args):
+    import jax.numpy as _jnp
+
+    return tuple(
+        a if b else _jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched))
+
+
+def _warp_shift_cv(ref: int, interpret: bool, _cache={}):
+    """custom_vmap-wrapped shift warp, cached per (ref, interpret)."""
+    from jax.custom_batching import custom_vmap
+
+    key = (ref, interpret)
+    if key in _cache:
+        return _cache[key]
+    from ..core.warp_shift import warp_stack_auto, warp_stack_auto_batched
+
+    @custom_vmap
+    def fn(seq, wx, wy):
+        return warp_stack_auto(seq, wx, wy, ref, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, seq, wx, wy):
+        seq, wx, wy = _broadcast_unbatched(axis_size, in_batched,
+                                           (seq, wx, wy))
+        out = warp_stack_auto_batched(seq, wx, wy, ref, interpret=interpret)
+        return out, (True, True)
+
+    _cache[key] = fn
+    return fn
+
+
+def _fused_data_cv(p, mode: str, interpret: bool, _cache={}):
+    """custom_vmap-wrapped fused derivative/IRLS kernel."""
+    from jax.custom_batching import custom_vmap
+
+    key = (p, mode, interpret)
+    if key in _cache:
+        return _cache[key]
+    from .fused_data import fused_data_system, fused_data_system_batched
+
+    n_out = 5 if mode == "assembly" else 2
+
+    @custom_vmap
+    def fn(warped, mask, du, dv, cw):
+        return fused_data_system(warped, mask, du, dv, cw, p, mode=mode,
+                                 interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        out = fused_data_system_batched(*args, p, mode=mode,
+                                        interpret=interpret)
+        return out, (True,) * n_out
+
+    _cache[key] = fn
+    return fn
+
+
+# --------------------------------------------------------------------------
 # derivative stacks
 # --------------------------------------------------------------------------
 def warp_window_frames(seq, wx, wy, ref: int, pallas_warp: bool = False,
@@ -172,10 +260,9 @@ def warp_window_frames(seq, wx, wy, ref: int, pallas_warp: bool = False,
 
         return warp_stack_pallas(seq, wx, wy, factors)
     if warp_mode == "shift":
-        from ..core.warp_shift import warp_stack_auto
-
-        return warp_stack_auto(
-            seq, wx, wy, ref, interpret=(jax.default_backend() == "cpu"))
+        # custom_vmap: batched callers get the batch-flattened kernel grid
+        return _warp_shift_cv(ref, jax.default_backend() == "cpu")(
+            seq, wx, wy)
     # unrolled over the (static) window size: vmap-of-the-banded-warp
     # batches its dynamic_slice windows into gathers and measured 2.2x
     # slower than 2*ref+1 independent warps (bit-identical outputs)
@@ -597,8 +684,6 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     # with the pallas kernel in variational/fused_data.py — no derivative
     # plane ever reaches HBM.
     if p.fused_data and not p.pallas_warp:
-        from .fused_data import fused_data_system
-
         interp = jax.default_backend() == "cpu"
 
         def derive_state(wxc, wyc):
@@ -612,13 +697,13 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
         def occ_costs_fn(state):
             warped, mask = state
             z = jnp.zeros_like(wx)
-            return fused_data_system(warped, mask, z, z, channel_w, p,
-                                     mode="occ", interpret=interp)
+            return _fused_data_cv(p, "occ", interp)(warped, mask, z, z,
+                                                    channel_w)
 
         def data_terms_fn(state, du, dv, gated):
             warped, _ = state
-            return fused_data_system(warped, gated, du, dv, channel_w, p,
-                                     mode="assembly", interpret=interp)
+            return _fused_data_cv(p, "assembly", interp)(warped, gated,
+                                                         du, dv, channel_w)
     else:
         def derive_state(wxc, wyc):
             return get_derivatives_mt(seq, wxc, wyc, ref, p.pallas_warp,
@@ -685,12 +770,21 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             change = jnp.maximum(jnp.abs(uu - wx).sum(),
                                  jnp.abs(vv - wy).sum()) / hw
             change = jnp.float32(change)
-            cont = (it + 1 < p.niter_outer) & (change >= p.thres_outer)
-            state = jax.lax.cond(
-                cont,
-                lambda a: derive_state(a[0], a[1]),
-                lambda a: a[2],
-                (uu, vv, state))
+            if p.jet_vmap:
+                # vmap-compatible trace: re-derive unconditionally. The exit
+                # iteration's state is discarded by outer_loop's caller, so
+                # this only wastes one warp per convergence (~2% of a jet) —
+                # but a batched-predicate lax.cond around the custom_vmap'd
+                # warp would trip JAX's const-batching assert (conds with
+                # batched predicates instantiate branch consts as batched).
+                state = derive_state(uu, vv)
+            else:
+                cont = (it + 1 < p.niter_outer) & (change >= p.thres_outer)
+                state = jax.lax.cond(
+                    cont,
+                    lambda a: derive_state(a[0], a[1]),
+                    lambda a: a[2],
+                    (uu, vv, state))
             return uu, vv, state, it + jnp.int32(1), change
 
         wx, wy, _, _, change = jax.lax.while_loop(
@@ -781,19 +875,28 @@ def _mt_pipeline(wx, wy, seq, channel_w, norm_avg, norm_std,
     cw_pyr = build_pyramid(channel_w, sizes, p.p_scale) \
         if p.layers > 1 else [channel_w]
 
-    if p.unroll_jets and b <= 16:
-        # unroll small jet batches: vmap would (a) batch the banded warp's
-        # dynamic_slice windows into gathers (2x slower warps) and (b) run
-        # every convergence-gated while_loop to the slowest jet; unrolled,
-        # each jet solves independently inside the same program
+    # batched kernels exist for the shift warp + fused assembly path, making
+    # jax.vmap(compute_one_level) a valid multi-jet route (one kernel
+    # dispatch covers the batch; convergence loops batch with masked per-jet
+    # semantics). On this single-core chip the per-jet unroll measured
+    # faster (see the jet_vmap field note), so vmap is opt-in.
+    can_batch_kernels = (p.fused_data and p.warp_mode == "shift"
+                         and not p.pallas_warp)
+    if b == 1 or (p.unroll_jets and b <= 16
+                  and not (p.jet_vmap and can_batch_kernels)):
+        # legacy unroll (jet_vmap=False, or kernels without a batched
+        # variant): each jet solves independently inside the same program —
+        # sequential convergence chains, but no vmap penalties
         def level_fn(wx, wy, seqs, cw, na, ns):
             outs = [compute_one_level(wx[i], wy[i], seqs[i], cw[i],
                                       na[i], ns[i], p=p) for i in range(b)]
             return tuple(jnp.stack(z) for z in zip(*outs))
+    elif p.jet_vmap and can_batch_kernels:
+        level_fn = jax.vmap(partial(compute_one_level, p=p))
     else:
-        # vmapped (incl. sharded) jet batches cannot route through the
-        # pallas kernels (vmap of pallas_call stages the mapped axis into
-        # VMEM on this backend) — force the XLA banded warp + XLA assembly
+        # vmapped batches without batched kernel variants fall back to the
+        # XLA banded warp + XLA assembly (vmap of those pallas_calls would
+        # stage the mapped axis into VMEM on this backend)
         from dataclasses import replace as _replace
         pv = p
         if p.warp_mode != "banded" or p.fused_data:
@@ -865,8 +968,9 @@ def variational_mt_sharded(wx, wy, seq, p: MultiFrameParams, mesh,
         norm_avg = jnp.zeros((b, 3), jnp.float32)
     if norm_std is None:
         norm_std = jnp.ones((b, 3), jnp.float32)
-    # inside the shard the unroll decision sees the LOCAL batch (b // n_jet),
-    # so the <=16 unroll cap applies per device automatically
+    # inside the shard the batching decision sees the LOCAL batch
+    # (b // n_jet): one local jet runs the plain single-jet trace, more take
+    # the vmapped batched-kernel path — both with the Pallas kernels intact
     return _sharded_pipeline(p, mesh)(wx, wy, seq, channel_w,
                                       norm_avg, norm_std)
 

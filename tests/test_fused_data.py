@@ -68,6 +68,35 @@ def test_occ_costs_match_xla(setup):
                                    rtol=0, atol=1e-5, err_msg=name)
 
 
+def test_batched_matches_per_item(setup):
+    """fused_data_system_batched flattens the jet batch into the strip grid;
+    every per-strip block is identical to the unbatched kernel's, so the
+    outputs must match bitwise."""
+    from slowflow_tpu.variational.fused_data import fused_data_system_batched
+
+    _, warped, _, _, mask, gate, du, dv, cw = setup
+    p = MultiFrameParams(S=3, rho=(1.0, 0.8), omega=(0.5, 2.0), layers=1,
+                         smoothing=1, occlusion_reasoning=True)
+    B = 3
+    rng = np.random.default_rng(5)
+    scale = jnp.asarray(1.0 + 0.1 * np.arange(B), jnp.float32)
+    wb = warped[None] * scale[:, None, None, None, None]
+    mb = jnp.broadcast_to(mask * gate, (B,) + mask.shape)
+    dub = jnp.asarray(rng.normal(0, 0.2, (B, H, W)), jnp.float32)
+    dvb = jnp.asarray(rng.normal(0, 0.2, (B, H, W)), jnp.float32)
+    cwb = jnp.broadcast_to(cw, (B,) + cw.shape)
+    for mode in ("assembly", "occ"):
+        outb = fused_data_system_batched(wb, mb, dub, dvb, cwb, p,
+                                         mode=mode, interpret=True)
+        for i in range(B):
+            outs = fused_data_system(wb[i], mb[i], dub[i], dvb[i], cwb[i],
+                                     p, mode=mode, interpret=True)
+            for a, b in zip(outb, outs):
+                np.testing.assert_array_equal(np.asarray(a[i]),
+                                              np.asarray(b),
+                                              err_msg=f"{mode} item {i}")
+
+
 def test_end_to_end_fused_equals_unfused():
     """Full coarse-to-fine solve: the fused path must agree with the XLA
     path to reassociation noise on a real translating scene."""

@@ -81,7 +81,9 @@ def test_shard_map_jet_axis_bitwise_vs_single():
     shard) must match the single-device unrolled pipeline BITWISE: the
     per-jet math is identical, only the placement differs. This pins
     sharded-vs-unsharded across device counts (1 vs 8) separately from any
-    kernel-difference tolerance."""
+    kernel-difference tolerance. (Default jet_vmap=False keeps both sides on
+    the per-jet unroll; the batched-kernel path's reduction order differs in
+    ulps.)"""
     from slowflow_tpu.variational.multiframe import (
         variational_mt_batched, variational_mt_sharded)
 
@@ -96,3 +98,29 @@ def test_shard_map_jet_axis_bitwise_vs_single():
     for a, b, name in zip(sharded, single, ("wx", "wy", "occ")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_shard_map_local_batched_kernels_vs_single():
+    """shard_map over jet with a LOCAL batch > 1 per device routes each
+    shard through the vmapped batched-Pallas-kernel path (jet_vmap=True);
+    it must agree with the unsharded batched run to float-reassociation
+    noise."""
+    from slowflow_tpu.variational.multiframe import (
+        variational_mt_batched, variational_mt_sharded)
+
+    p = MultiFrameParams(S=3, rho=(1.0, 1.0), omega=(0.0, 2.0), layers=2,
+                         niter_alter=2, niter_outer=3, niter_solver=10,
+                         occlusion_reasoning=True, smoothing=1,
+                         jet_vmap=True)
+    b = 8
+    args = _inputs(b, 3, 48, 64)
+    mesh = make_mesh(n_jet=4, n_sp=1,
+                     devices=jax.devices()[:4])     # local batch = 2
+    wx, wy, seq, cw, na, ns = args
+    sharded = variational_mt_sharded(wx, wy, seq, p, mesh, cw, na, ns)
+    single = variational_mt_batched(wx, wy, seq, p, cw, na, ns)
+    for a, b_, name in zip(sharded[:2], single[:2], ("wx", "wy")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, err_msg=name)
+    assert (np.asarray(sharded[2]) != np.asarray(single[2])).mean() < 0.01

@@ -82,10 +82,13 @@ def test_multiframe_smoothing_variants_run(method):
     assert np.mean(err) < 0.4, np.mean(err)
 
 
-def test_unrolled_vs_vmapped_batch_equivalence():
-    """unroll_jets=True (default, b<=4) and the vmapped path must agree to
-    float-reassociation noise; the sharded multi-device CLI branch relies on
-    the vmapped path being interchangeable."""
+def test_batch_path_equivalence():
+    """The three multi-jet batch routes must agree: the default
+    jax.vmap-with-batched-Pallas-kernels path (jet_vmap=True), the legacy
+    per-jet unroll (jet_vmap=False), and the banded-XLA vmapped fallback
+    (unroll_jets=False + jet_vmap=False). Kernel-identical pairs agree to
+    float-reassociation noise; the banded fallback to the cross-kernel
+    tolerance."""
     import dataclasses
     from slowflow_tpu.variational.multiframe import variational_mt_batched
 
@@ -95,8 +98,15 @@ def test_unrolled_vs_vmapped_batch_equivalence():
                          p_scale=0.7, niter_alter=2, niter_outer=3,
                          occlusion_reasoning=True)
     z = jnp.zeros((b, h, w))
-    wx_u, wy_u, occ_u = variational_mt_batched(z, z, seq, p)
-    p_v = dataclasses.replace(p, unroll_jets=False)
+    p_k = dataclasses.replace(p, jet_vmap=True)
+    wx_k, wy_k, occ_k = variational_mt_batched(z, z, seq, p_k)
+    p_u = p                             # default: per-jet unroll
+    wx_u, wy_u, occ_u = variational_mt_batched(z, z, seq, p_u)
+    # batched kernels vs per-jet unroll: identical per-strip arithmetic
+    np.testing.assert_allclose(np.asarray(wx_k), np.asarray(wx_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wy_k), np.asarray(wy_u), atol=1e-5)
+    assert (np.asarray(occ_k) != np.asarray(occ_u)).mean() < 0.01
+    p_v = dataclasses.replace(p, unroll_jets=False, jet_vmap=False)
     wx_v, wy_v, occ_v = variational_mt_batched(z, z, seq, p_v)
     np.testing.assert_allclose(np.asarray(wx_u), np.asarray(wx_v), atol=5e-4)
     np.testing.assert_allclose(np.asarray(wy_u), np.asarray(wy_v), atol=5e-4)

@@ -68,6 +68,23 @@ def test_out_of_bounds_masking(rng):
     _check(_seq(rng), wx, wy, atol=1e-4)
 
 
+def test_batched_matches_per_item(rng):
+    """warp_stack_auto_batched (jet batch flattened into the kernel grid)
+    must reproduce per-item warp_stack_auto, including the masks."""
+    from slowflow_tpu.core.warp_shift import warp_stack_auto_batched
+
+    B = 3
+    seq = jnp.asarray(rng.random((B, F, 3, H, W)), jnp.float32) * 255.0
+    wx = jnp.asarray(rng.normal(0, 1.2, (B, H, W)), jnp.float32)
+    wy = jnp.asarray(rng.normal(0, 0.8, (B, H, W)), jnp.float32)
+    wb, mb = warp_stack_auto_batched(seq, wx, wy, REF, interpret=True)
+    for i in range(B):
+        ws, ms = warp_stack_auto(seq[i], wx[i], wy[i], REF, interpret=True)
+        np.testing.assert_allclose(np.asarray(wb[i]), np.asarray(ws),
+                                   rtol=0, atol=2e-5, err_msg=f"item {i}")
+        np.testing.assert_array_equal(np.asarray(mb[i]), np.asarray(ms))
+
+
 def test_derivative_stack_shift_matches_banded(rng):
     from slowflow_tpu.variational.multiframe import get_derivatives_mt
 
