@@ -57,21 +57,27 @@ def distance_transform(cost, seed_dist, seed_labels, max_iter: int = 256,
         th_a, lh_a = _shift_with(dmap, labels, 0, -1)  # west
         th_b, lh_b = _shift_with(dmap, labels, 0, 1)   # east
 
-        best_t = dmap
-        best_l = labels
-        for tv, lv in ((tv_a, lv_a), (tv_b, lv_b)):
-            for th, lh in ((th_a, lh_a), (th_b, lh_b)):
-                dt12 = jnp.abs(tv - th)
-                tmin = jnp.minimum(tv, th)
-                lmin = jnp.where(tv < th, lv, lh)
-                degenerate = dt12 > cost
-                t_quad = jnp.sqrt(jnp.maximum(2 * cost * cost - dt12 * dt12, 0.0))
-                t0 = jnp.where(degenerate, tmin + cost,
-                               0.5 * (tv + th + t_quad))
-                t0 = jnp.minimum(t0, BIG)
-                upd = t0 < best_t
-                best_t = jnp.where(upd, t0, best_t)
-                best_l = jnp.where(upd, lmin, best_l)
+        # The eikonal update t0(tv, th) is monotone non-decreasing in both
+        # arguments (d t0/d tv = (1 - (tv-th)/sqrt(2C^2-(tv-th)^2))/2 >= 0 on
+        # the non-degenerate branch since sqrt(...) >= C >= |tv-th|, and the
+        # degenerate branch is min+C), so the minimum over the four
+        # (vertical, horizontal) quadrant pairs equals ONE update applied to
+        # the per-axis minima — 4x fewer quadrant evaluations per iteration.
+        tv = jnp.minimum(tv_a, tv_b)
+        lv = jnp.where(tv_a < tv_b, lv_a, lv_b)
+        th = jnp.minimum(th_a, th_b)
+        lh = jnp.where(th_a < th_b, lh_a, lh_b)
+
+        dt12 = jnp.abs(tv - th)
+        tmin = jnp.minimum(tv, th)
+        lmin = jnp.where(tv < th, lv, lh)
+        degenerate = dt12 > cost
+        t_quad = jnp.sqrt(jnp.maximum(2 * cost * cost - dt12 * dt12, 0.0))
+        t0 = jnp.where(degenerate, tmin + cost, 0.5 * (tv + th + t_quad))
+        t0 = jnp.minimum(t0, BIG)
+        upd = t0 < dmap
+        best_t = jnp.where(upd, t0, dmap)
+        best_l = jnp.where(upd, lmin, labels)
         return best_t, best_l
 
     def block(carry):
