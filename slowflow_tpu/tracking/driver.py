@@ -409,9 +409,21 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                         base_want, ntry, group, n_rates, use_consistent,
                         xy_incr, xy_start, _cache={}):
     """One jitted program for a full propagation pass: both lattice strides,
-    all tryout groups, gathers, evaluation, and the reference's sequential
-    insertion semantics (dense_tracking.cpp:1434-1583). The only inputs that
-    move are a PRNG key; the bank never leaves the device."""
+    all tryout groups, gathers, and the reference's sequential insertion
+    semantics (dense_tracking.cpp:1434-1583). The only inputs that move are
+    a PRNG key; the bank never leaves the device.
+
+    Decoupled insert/evaluate: insertion decisions depend only on source
+    validity, the `want` budget, and trajectory-similarity rejection — never
+    on the candidate's energy (the reference computes the energy merely to
+    store it; dense_tracking.cpp:1544-1575). Candidates are also gathered
+    exclusively from slot 0, which insertions never modify (every pixel has
+    a valid slot 0, so new hypotheses always land in slots >= 1). The pass
+    therefore runs the sequential insertion loop with placeholder energies
+    (phase 1, cheap gathers + distances only) and then fills energy +
+    occlusions for ALL slots inserted this pass in ONE batched evaluation
+    (phase 2) — ~ntry/K fewer addBCGC sampling sweeps than evaluating every
+    tryout group, with identical results."""
     import jax
     import jax.numpy as jnp
 
@@ -427,10 +439,15 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
             weight_jet, *extra):
         occ_masks = extra[0] if has_occ else None
         h, w = bank["energy"].shape[:2]
+        J = bank["flows"].shape[3]
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         px = (xx * xy_incr + xy_start).astype(jnp.float32)[..., None]
         py = (yy * xy_incr + xy_start).astype(jnp.float32)[..., None]
+
+        valid0 = bank["valid"]                 # pass-start snapshot
+        zero_occl = jnp.zeros((h, w, J + 1), jnp.int32)
+        zero_energy = jnp.zeros((h, w), jnp.float32)
 
         for t, stride in enumerate(strides):
             radius = (t + 1) * base_radius / xy_incr
@@ -458,8 +475,8 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                 sxg = jax.lax.dynamic_slice_in_dim(sx_all, g0, group, 0)
                 syg = jax.lax.dynamic_slice_in_dim(sy_all, g0, group, 0)
                 G = group
-                # gather candidates from the *current* bank (matches the
-                # reference's live per-group refresh)
+                # candidates come from slot 0, which is invariant during
+                # the pass (insertions fill free slots >= 1)
                 cand_flows = jnp.moveaxis(
                     bank["flows"][syg, sxg, 0], 0, 2)         # [h, w, G, J, 2]
                 cand_jet = jnp.moveaxis(
@@ -470,15 +487,6 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                     src_valid = src_valid & jnp.moveaxis(
                         consistent[syg, sxg], 0, 2)
 
-                occl = set_occlusions(px, py, cand_flows, forward, backward,
-                                      occ_thr, fb_thr)
-                energy = hypothesis_energy(px, py, cand_flows, occl, forward,
-                                           data, ddx, ddy, pen_d, ep,
-                                           occ_masks)
-                wj = (weight_jet[None, None]
-                      * (cand_jet[..., None]
-                         == jnp.arange(n_rates)[None, None, None])).sum(-1)
-                energy = energy + wj
                 d_bank = trajectory_distance(cand_flows[:, :, :, None],
                                              bank["flows"][:, :, None],
                                              sim_method)   # [h, w, G, K]
@@ -505,8 +513,8 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                             & (d_cand[:, :, i, j] < sim_thres))
                     ins = src_ok & ~similar
                     bank, sel = _bank_insert(
-                        bank, cand_flows[:, :, i], occl[:, :, i],
-                        energy[:, :, i], cand_jet[:, :, i], ins)
+                        bank, cand_flows[:, :, i], zero_occl,
+                        zero_energy, cand_jet[:, :, i], ins)
                     valid_live = bank["valid"]
                     inserted_prev.append(ins)
                     added = added + ins.astype(jnp.int32)
@@ -522,7 +530,25 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
             added0 = jnp.zeros((h, w), jnp.int32)
             bank, _, _ = jax.lax.while_loop(
                 group_cond, group_body, (bank, added0, jnp.int32(0)))
-        return bank
+
+        # phase 2: one batched energy/occlusion evaluation over every slot
+        # inserted this pass (flows were recorded by phase 1; energies are
+        # pure functions of them, so deferring is result-identical)
+        inserted = bank["valid"] & ~valid0                    # [h, w, K]
+        all_flows = bank["flows"]
+        occl_all = set_occlusions(px, py, all_flows, forward, backward,
+                                  occ_thr, fb_thr)            # [h, w, K, J+1]
+        energy_all = hypothesis_energy(px, py, all_flows, occl_all, forward,
+                                       data, ddx, ddy, pen_d, ep, occ_masks)
+        wj = (weight_jet[None, None]
+              * (bank["jet_est"][..., None]
+                 == jnp.arange(n_rates)[None, None, None])).sum(-1)
+        energy_all = energy_all + wj
+        return dict(
+            bank,
+            occl=jnp.where(inserted[..., None], occl_all, bank["occl"]),
+            energy=jnp.where(inserted, energy_all, bank["energy"]),
+        )
 
     _cache[key_s] = run
     return run

@@ -247,104 +247,143 @@ def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams,
     pairs in one dispatch (the TPU replacement for the reference's quadruple
     loop).
 
-    Gather structure: the window offsets are integers, so every offset shares
-    the trajectory displacement's fractional part — instead of 4 bilinear
-    corner gathers per (plane, frame, offset), ONE (2r+2)^2 integer patch is
-    gathered per frame from the 9-channel stack [I|Ix|Iy] and the (2r+1)^2
-    bilinear values fall out as four shifted views of the patch (~7x fewer
-    gather ops, bit-identical values).
+    Layout: every large intermediate keeps the PIXEL dims (bh, bw) trailing.
+    The natural channels/offsets-trailing formulation made XLA tile the
+    [.., ps, ps, 9] patch tensor on its tiny tail dims — a measured 14.2x
+    HBM padding expansion that dominated the propagation dispatch. Window
+    offsets are integers, so every offset shares the trajectory's fractional
+    weights: one (2r+2)^2 patch is gathered per (frame, plane) from an
+    edge-padded image (equivalent to clamp-at-border, utils.h:183-218) and
+    the (2r+1)^2 bilinear values fall out as static views of the patch.
+    The O(J^2) frame-pair reduction runs as a fori_loop over the pair list,
+    accumulating into one [G, Wd, bh, bw] plane.
 
-    data/data_dx/data_dy: [J+1, H, W, 3]; flows [..., J, 2]. `occ_masks`
-    ([J, H, W], nonzero = visible — the jet occlusion maps when
-    `acc_occlusion` is on, dense_tracking.cpp:289) additionally gates the
-    warped samples of frames 1..J.
+    data/data_dx/data_dy: [J+1, H, W, 3]; flows [bh, bw, G, J, 2] (leading
+    dims broadcast against px/py [bh, bw, 1]). `occ_masks` ([J, H, W],
+    nonzero = visible — the jet occlusion maps when `acc_occlusion` is on,
+    dense_tracking.cpp:289) additionally gates the warped samples of frames
+    1..J. Returns [bh, bw, G].
     """
+    from jax import lax
+
     Jp1 = data.shape[0]
     h, w = data.shape[1:3]
     r = int(0.5 * (p.skip_pixel + 1))
-    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    ox, oy = jnp.meshgrid(offs, offs, indexing="xy")
-    ox = ox.ravel()  # [Wd]
-    oy = oy.ravel()
-    Wd = ox.shape[0]
+    ps = 2 * r + 2
+    lead = jnp.broadcast_shapes(px.shape[:2], flows.shape[:2])
+    bh, bw = lead
+    G = flows.shape[2]
 
-    # trajectory displacement per frame: frame 0 -> zero, frame j -> flow[j-1]
-    disp = jnp.concatenate(
-        [jnp.zeros(flows.shape[:-2] + (1, 2), flows.dtype), flows], axis=-2)
+    offs = [(oy, ox) for oy in range(-r, r + 1) for ox in range(-r, r + 1)]
 
-    # positions: [..., Wd, J+1, 2]
-    base_x = (px[..., None] + ox)[..., :, None]
-    base_y = (py[..., None] + oy)[..., :, None]
-    x = base_x + disp[..., None, :, 0]
-    y = base_y + disp[..., None, :, 1]
-    inside = (x >= 0) & (x < w) & (y >= 0) & (y < h)
-    center_inside = (base_x >= 0) & (base_x < w) & (base_y >= 0) & (base_y < h)
-    inside = inside & center_inside
+    pxT = jnp.broadcast_to(px[..., 0], (bh, bw))
+    pyT = jnp.broadcast_to(py[..., 0], (bh, bw))
 
-    # patch-gather: one integer (2r+2)x(2r+2) read per frame on the stacked
-    # planes; window offsets reuse the shared fractional weights. Values at
-    # positions that fail `inside` are masked out below, and positions with
-    # x == w-1 (or y == h-1) zero their fx/fy gate exactly like
-    # bilinear_sample's clamp-at-border (utils.h:183-218).
-    stacked = jnp.concatenate([data, data_dx, data_dy], -1)   # [J+1, H, W, 9]
-    r_i = int(round(float(r)))
-    dgrid = jnp.arange(-r_i, r_i + 2)                          # [2r+2]
-    cx = px[..., None] + disp[..., 0]                          # [..., J+1]
-    cy = py[..., None] + disp[..., 1]
+    # displacements / occlusions, pixel-last: [J+1, G, bh, bw]
+    fT = jnp.transpose(flows, (4, 3, 2, 0, 1))              # [2, J, G, bh, bw]
+    zr = jnp.zeros((1, G, bh, bw), jnp.float32)
+    dispx = jnp.concatenate([zr, fT[0]], 0)
+    dispy = jnp.concatenate([zr, fT[1]], 0)
+    occT = jnp.transpose(occl, (3, 2, 0, 1))
+
+    cx = pxT[None, None] + dispx                            # [J+1, G, bh, bw]
+    cy = pyT[None, None] + dispy
     x0b = jnp.floor(cx).astype(jnp.int32)
     y0b = jnp.floor(cy).astype(jnp.int32)
-    fx = jnp.clip(cx - x0b, 0.0, 1.0)                          # [..., J+1]
+    fx = jnp.clip(cx - x0b, 0.0, 1.0)
     fy = jnp.clip(cy - y0b, 0.0, 1.0)
 
+    # edge-padded image: pad >= max(2r, r+2) keeps the patch corner in range
+    # for every window whose own position can be inside (the center may sit
+    # up to r px outside while an offset position is still in the image)
+    stacked = jnp.concatenate([data, data_dx, data_dy], -1)  # [J+1, H, W, 9]
+    pad = max(2 * r, r + 2)
+    spad = jnp.pad(stacked, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                   mode="edge")
+    splanes = jnp.transpose(spad, (0, 3, 1, 2))             # [J+1, 9, Hp, Wp]
+    hp, wp = h + 2 * pad, w + 2 * pad
+    cyc = jnp.clip(y0b + (pad - r), 0, hp - ps)             # patch corner
+    cxc = jnp.clip(x0b + (pad - r), 0, wp - ps)
+
+    dg = jnp.arange(ps, dtype=jnp.int32)
+    yg = jnp.broadcast_to(
+        cyc[:, :, None, None] + dg[None, None, :, None, None, None],
+        (Jp1, G, ps, ps, bh, bw))
+    xg = jnp.broadcast_to(
+        cxc[:, :, None, None] + dg[None, None, None, :, None, None],
+        (Jp1, G, ps, ps, bh, bw))
+
     def patch_frame(t, P):
-        ycg = jnp.clip(y0b[..., t, None, None] + dgrid[:, None], 0, h - 1)
-        xcg = jnp.clip(x0b[..., t, None, None] + dgrid[None, :], 0, w - 1)
-        return P.at[..., t, :, :, :].set(stacked[t][ycg, xcg])
+        return P.at[t].set(splanes[t][:, yg[t], xg[t]])
 
-    ps = 2 * r_i + 2
-    P = jnp.zeros(x0b.shape + (ps, ps, 9), jnp.float32)
-    P = jax.lax.fori_loop(0, Jp1, patch_frame, P)              # [..., J+1, ps, ps, 9]
+    P = jnp.zeros((Jp1, 9, G, ps, ps, bh, bw), jnp.float32)
+    P = lax.fori_loop(0, Jp1, patch_frame, P)
 
-    # per-offset corner gates (fx zeroed when the +1 column leaves the image)
-    gx = fx[..., None, :] * ((x0b[..., None, :] + ox[:, None].astype(jnp.int32)
-                              + 1) <= w - 1)                   # [..., Wd, J+1]
-    gy = fy[..., None, :] * ((y0b[..., None, :] + oy[:, None].astype(jnp.int32)
-                              + 1) <= h - 1)
-    oxi = (ox + r_i).astype(jnp.int32)                         # [Wd]
-    oyi = (oy + r_i).astype(jnp.int32)
-    # four shifted views of the patch at the window offsets
-    c00 = jnp.moveaxis(P[..., oyi, oxi, :], -2, -3)            # [..., Wd, J+1, 9]
-    c01 = jnp.moveaxis(P[..., oyi, oxi + 1, :], -2, -3)
-    c10 = jnp.moveaxis(P[..., oyi + 1, oxi, :], -2, -3)
-    c11 = jnp.moveaxis(P[..., oyi + 1, oxi + 1, :], -2, -3)
-    gx = gx[..., None]                                         # [..., Wd, J+1, 1]
-    gy = gy[..., None]
+    # bilinear views at each window offset (static patch indices); the gates
+    # zero the +1 row/col exactly like bilinear_sample's clamp-at-border
+    oyi = [o[0] + r for o in offs]
+    oxi = [o[1] + r for o in offs]
+    c00 = jnp.stack([P[:, :, :, a, b] for a, b in zip(oyi, oxi)], 3)
+    c01 = jnp.stack([P[:, :, :, a, b + 1] for a, b in zip(oyi, oxi)], 3)
+    c10 = jnp.stack([P[:, :, :, a + 1, b] for a, b in zip(oyi, oxi)], 3)
+    c11 = jnp.stack([P[:, :, :, a + 1, b + 1]
+                     for a, b in zip(oyi, oxi)], 3)   # [J+1, 9, G, Wd, bh, bw]
+
+    oxf = jnp.asarray(np.array([o[1] for o in offs], np.float32))
+    oyf = jnp.asarray(np.array([o[0] for o in offs], np.float32))
+    oxi_j = jnp.asarray(np.array(oxi, np.int32) - r)
+    oyi_j = jnp.asarray(np.array(oyi, np.int32) - r)
+    gate_x = ((x0b[:, :, None] + oxi_j[None, None, :, None, None] + 1)
+              <= w - 1)
+    gate_y = ((y0b[:, :, None] + oyi_j[None, None, :, None, None] + 1)
+              <= h - 1)
+    gx = (fx[:, :, None] * gate_x)[:, None]           # [J+1, 1, G, Wd, bh, bw]
+    gy = (fy[:, :, None] * gate_y)[:, None]
     vals = (c00 * (1 - gx) * (1 - gy) + c01 * gx * (1 - gy)
-            + c10 * (1 - gx) * gy + c11 * gx * gy)             # [..., Wd, J+1, 9]
-    I, Ix, Iy = vals[..., 0:3], vals[..., 3:6], vals[..., 6:9]
+            + c10 * (1 - gx) * gy + c11 * gx * gy)
 
-    # visible = inside and not occluded; pair weight = vis_i * vis_j
-    vis = inside & (occl[..., None, :Jp1] == 0)          # [..., Wd, J+1]
+    # visible = offset position inside AND center inside AND not occluded
+    bx = pxT[None, None, None] + oxf[:, None, None]          # [1,1,Wd,bh,bw]
+    by = pyT[None, None, None] + oyf[:, None, None]
+    center_inside = ((bx >= 0) & (bx < w) & (by >= 0) & (by < h))
+    xo = cx[:, :, None] + oxf[:, None, None]                 # [J+1,G,Wd,bh,bw]
+    yo = cy[:, :, None] + oyf[:, None, None]
+    inside = ((xo >= 0) & (xo < w) & (yo >= 0) & (yo < h)) & center_inside
+    vis = inside & (occT[:, :, None] == 0)
     if occ_masks is not None:
         def mask_frame(t, v):
-            xc = jnp.clip(x[..., t], 0, w - 1).astype(jnp.int32)
-            yc = jnp.clip(y[..., t], 0, h - 1).astype(jnp.int32)
-            ok = occ_masks[t - 1][yc, xc] != 0
-            return v.at[..., t].set(v[..., t] & ok)
+            xc = jnp.clip(xo[t], 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yo[t], 0, h - 1).astype(jnp.int32)
+            return v.at[t].set(v[t] & (occ_masks[t - 1][yc, xc] != 0))
 
-        vis = jax.lax.fori_loop(1, Jp1, mask_frame, vis)
-    pair_w = (vis[..., :, None] & vis[..., None, :]).astype(jnp.float32)
-    triu = jnp.triu(jnp.ones((Jp1, Jp1), jnp.float32), k=1)
-    pair_w = pair_w * triu
+        vis = lax.fori_loop(1, Jp1, mask_frame, vis)
+    visf = vis.astype(jnp.float32)
 
-    dI = jnp.abs(I[..., :, None, :] - I[..., None, :, :]).sum(-1)
-    dG = (jnp.abs(Ix[..., :, None, :] - Ix[..., None, :, :]).sum(-1)
-          + jnp.abs(Iy[..., :, None, :] - Iy[..., None, :, :]).sum(-1))
-    e_pair = (p.acc_bc * 0.3334 * dI + p.acc_gc * 0.3334 * dG) * pair_w
-    contrib = pair_w.sum((-1, -2))
-    e_p = e_pair.sum((-1, -2)) / jnp.maximum(contrib, 1.0)
-    neighs = center_inside[..., 0].astype(jnp.float32).sum(-1)
-    return e_p.sum(-1) / jnp.maximum(neighs, 1.0)
+    # frame-pair accumulation
+    pi = np.array([i for i in range(Jp1) for j in range(i + 1, Jp1)], np.int32)
+    pj = np.array([j for i in range(Jp1) for j in range(i + 1, Jp1)], np.int32)
+    pi_j = jnp.asarray(pi)
+    pj_j = jnp.asarray(pj)
+    bc_c = jnp.float32(p.acc_bc * 0.3334)
+    gc_c = jnp.float32(p.acc_gc * 0.3334)
+
+    def pair_body(k, carry):
+        e_acc, contrib = carry
+        i = pi_j[k]
+        j = pj_j[k]
+        d = jnp.abs(lax.dynamic_index_in_dim(vals, i, 0, keepdims=False)
+                    - lax.dynamic_index_in_dim(vals, j, 0, keepdims=False))
+        wp_ = (lax.dynamic_index_in_dim(visf, i, 0, keepdims=False)
+               * lax.dynamic_index_in_dim(visf, j, 0, keepdims=False))
+        e_acc = e_acc + (bc_c * d[0:3].sum(0) + gc_c * d[3:9].sum(0)) * wp_
+        return e_acc, contrib + wp_
+
+    z = jnp.zeros(vals.shape[2:], jnp.float32)
+    e_acc, contrib = lax.fori_loop(0, len(pi), pair_body, (z, z))
+    e_p = e_acc / jnp.maximum(contrib, 1.0)                  # [G, Wd, bh, bw]
+    neighs = center_inside[0, 0].astype(jnp.float32).sum(0)  # [bh, bw]
+    e = e_p.sum(1) / jnp.maximum(neighs, 1.0)[None]
+    return jnp.transpose(e, (1, 2, 0))
 
 
 def add_oc(occl, p: EnergyParams):
