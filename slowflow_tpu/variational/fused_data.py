@@ -102,12 +102,18 @@ def _yrepl(a, grow0, h: int):
     return jnp.where(rr > h - 1, bot, out)
 
 
-def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
-            p, mode: str, r: int, wp: int, w_img: int, h_img: int,
-            n_r: int):
-    """One row strip. w_ref: [1, F, 3, win_h, Wp] edge-replicated halo-4
-    windows; mask_ref: [1, N, r, Wp] (gated for assembly, raw for occ);
-    outputs are [1, r, Wp] planes."""
+def assemble_from_windows(wext, mask_full, du, dv, cw, *,
+                          p, mode: str, r: int, wp: int, w_img: int,
+                          h_img: int, grow0):
+    """Data-term assembly on VMEM-resident halo-EXT strip windows.
+
+    wext: [F, 3, win_h, Wp] warped-frame windows in assembly layout (image
+    col j at plane col j+EXT, strip row i at plane row i+EXT, halos
+    edge-replicated); mask_full: [N, r, Wp] (gated for assembly, raw for
+    occ); du/dv: [r, Wp]; cw: [3, r, Wp]; grow0: global image row of ext
+    row 0 (traced scalar). Returns the list of output planes [r, Wp] —
+    (a11, a12, a22, b1, b2) or (e0, e1). Shared by the plain fused-data
+    kernel and the merged warp+assembly kernel (fused_warp.py)."""
     ref = p.ref
     n = 2 * ref
     color_pen, grad_pen, _ = p.penalties()
@@ -117,7 +123,6 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
 
     from jax.experimental.pallas import tpu as pltpu
 
-    wext = w_ref[0]                      # [F, 3, win_h, Wp]
     ref_img = wext[ref]
 
     def crop(a):
@@ -128,9 +133,6 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
         return shifted[..., EXT:EXT + r, :]
 
     if mode == "assembly":
-        du = du_ref[0]                   # [r, Wp]
-        dv = dv_ref[0]
-        cw = cw_ref[0]                   # [3, r, Wp]
         acc = [jnp.zeros((r, wp), jnp.float32) for _ in range(5)]
     else:
         e0 = jnp.zeros((r, wp), jnp.float32)
@@ -139,7 +141,7 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
         n1 = jnp.zeros((r, wp), jnp.float32)
 
     for s in range(n):
-        mask = mask_ref[0, s]            # [r, Wp]
+        mask = mask_full[s]              # [r, Wp]
         w_a = wext[s]
         w_b = wext[s + 1]
         if s < ref:
@@ -158,9 +160,6 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
             ix = _c5x(tmp)
             iy = _c5y(tmp)
             # second same-direction convs clamp taps on the *plane*
-            from jax.experimental import pallas as pl
-            # grid may be flattened over (batch, strip): strip = id % n_r
-            grow0 = (pl.program_id(0) % n_r) * r - EXT
             stacks.append((ix, iy, izf,
                            _c5x(_xrepl(ix, w_img)),
                            _c5y(ix),
@@ -270,13 +269,28 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
         acc = [a11, a12, a22, b1, b2]
 
     if mode == "assembly":
-        for ref_out, val in zip(out_refs, acc):
-            ref_out[0] = val
-    else:
-        n0 = jnp.where(n0 == 0, 1.0, n0)
-        n1 = jnp.where(n1 == 0, 1.0, n1)
-        out_refs[0][0] = DT_SCALE_GRAPHC * e0 / n0
-        out_refs[1][0] = DT_SCALE_GRAPHC * e1 / n1 + p.occlusion_penalty
+        return acc
+    n0 = jnp.where(n0 == 0, 1.0, n0)
+    n1 = jnp.where(n1 == 0, 1.0, n1)
+    return [DT_SCALE_GRAPHC * e0 / n0,
+            DT_SCALE_GRAPHC * e1 / n1 + p.occlusion_penalty]
+
+
+def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
+            p, mode: str, r: int, wp: int, w_img: int, h_img: int,
+            n_r: int):
+    """One row strip. w_ref: [1, F, 3, win_h, Wp] edge-replicated halo-4
+    windows; mask_ref: [1, N, r, Wp] (gated for assembly, raw for occ);
+    outputs are [1, r, Wp] planes."""
+    from jax.experimental import pallas as pl
+
+    # grid may be flattened over (batch, strip): strip = id % n_r
+    grow0 = (pl.program_id(0) % n_r) * r - EXT
+    outs = assemble_from_windows(
+        w_ref[0], mask_ref[0], du_ref[0], dv_ref[0], cw_ref[0],
+        p=p, mode=mode, r=r, wp=wp, w_img=w_img, h_img=h_img, grow0=grow0)
+    for ref_out, val in zip(out_refs, outs):
+        ref_out[0] = val
 
 
 def fused_data_system_batched(warped, mask, du, dv, channel_w, p,

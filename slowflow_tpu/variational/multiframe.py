@@ -73,13 +73,25 @@ class MultiFrameParams:
     pallas_warp: bool = False               # VMEM one-hot warp kernel
     warp_mode: str = "shift"                # "shift" (small-motion Pallas
                                             # kernel w/ banded fallback) or
-                                            # "banded"; vmapped/sharded jet
-                                            # batches force "banded"
+                                            # "banded"; both batch natively
+                                            # under vmap via custom_vmap
     fused_data: bool = True                 # fuse derivative stacks + IRLS
                                             # assembly + occlusion costs into
                                             # one Pallas kernel (no HBM
-                                            # derivative planes); forced off
-                                            # for vmapped/sharded batches
+                                            # derivative planes); batches
+                                            # natively under vmap
+    merge_warp: bool = False                # fold the warp itself into the
+                                            # fused kernel (fused_warp.py):
+                                            # one dispatch per outer
+                                            # iteration, no warped stack in
+                                            # HBM; requires fused_data and
+                                            # warp_mode "shift". Equivalence
+                                            # is pinned (test_fused_warp.py)
+                                            # but the kernel has not yet been
+                                            # A/B'd on real Mosaic
+                                            # (tools/prof_merged.py) — flip
+                                            # the default once it wins on
+                                            # chip
     unroll_jets: bool = True                # unroll small jet batches (single
                                             # chip); MUST be False when the
                                             # batch axis is sharded over a
@@ -207,6 +219,33 @@ def _warp_shift_cv(ref: int, interpret: bool, _cache={}):
                                            (seq, wx, wy))
         out = warp_stack_auto_batched(seq, wx, wy, ref, interpret=interpret)
         return out, (True, True)
+
+    _cache[key] = fn
+    return fn
+
+
+def _fused_warp_cv(p, mode: str, interpret: bool, _cache={}):
+    """custom_vmap-wrapped merged warp+assembly kernel (fused_warp.py)."""
+    from jax.custom_batching import custom_vmap
+
+    key = (p, mode, interpret)
+    if key in _cache:
+        return _cache[key]
+    from .fused_warp import fused_warp_data, fused_warp_data_batched
+
+    n_out = 5 if mode == "assembly" else 2
+
+    @custom_vmap
+    def fn(seq, wx, wy, mask, du, dv, cw):
+        return fused_warp_data(seq, wx, wy, mask, du, dv, cw, p, mode=mode,
+                               interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        out = fused_warp_data_batched(*args, p, mode=mode,
+                                      interpret=interpret)
+        return out, (True,) * n_out
 
     _cache[key] = fn
     return fn
@@ -682,8 +721,36 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     # occlusion data costs, (4) the assembled normal equations. The fused
     # path keeps only the warped frame stack as state and produces (3)/(4)
     # with the pallas kernel in variational/fused_data.py — no derivative
-    # plane ever reaches HBM.
-    if p.fused_data and not p.pallas_warp:
+    # plane ever reaches HBM. The merged path goes one further: the state is
+    # the linearization-point flow itself, and one kernel (fused_warp.py)
+    # warps in VMEM and assembles in a single dispatch.
+    if (p.fused_data and p.merge_warp and not p.pallas_warp
+            and p.warp_mode == "shift"):
+        interp = jax.default_backend() == "cpu"
+        from ..core.warp_shift import _coords
+
+        f_all = 2 * ref + 1
+        factors_all = jnp.arange(f_all, dtype=jnp.float32) - ref
+        hh, ww = wx.shape
+
+        def derive_state(wxc, wyc):
+            *_, inside = _coords(wxc, wyc, factors_all, hh, ww)
+            return wxc, wyc, succ_mask(inside.astype(jnp.float32), ref)
+
+        def state_mask(state):
+            return state[2]
+
+        def occ_costs_fn(state):
+            wxc, wyc, m = state
+            z = jnp.zeros_like(wxc)
+            return _fused_warp_cv(p, "occ", interp)(seq, wxc, wyc, m, z, z,
+                                                    channel_w)
+
+        def data_terms_fn(state, du, dv, gated):
+            wxc, wyc, _ = state
+            return _fused_warp_cv(p, "assembly", interp)(
+                seq, wxc, wyc, gated, du, dv, channel_w)
+    elif p.fused_data and not p.pallas_warp:
         interp = jax.default_backend() == "cpu"
 
         def derive_state(wxc, wyc):
@@ -807,8 +874,15 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                                          p.niter_graphc)
                 return 2.0 * lab - 1.0
 
-            new_occ = jax.lax.cond(it > 0, occ_update, lambda a: a[1],
-                                   (state, occ))
+            if p.jet_vmap:
+                # same const-batching hazard as in body() above: the merged
+                # warp kernel's custom_vmap must not sit under a
+                # batched-predicate cond. Compute unconditionally and
+                # select; only the it=0 evaluation is wasted.
+                new_occ = jnp.where(it > 0, occ_update((state, occ)), occ)
+            else:
+                new_occ = jax.lax.cond(it > 0, occ_update, lambda a: a[1],
+                                       (state, occ))
             occ_stable = (it > 0) & jnp.all(new_occ == occ)
             occ = new_occ
         wx, wy, change = outer_loop(wx, wy, occ, state)

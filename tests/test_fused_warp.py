@@ -1,0 +1,104 @@
+"""Equivalence of the merged warp+assembly kernel (variational/fused_warp.py)
+against the two-kernel composition it replaces: core/warp_shift.py's
+warp_stack_auto -> variational/fused_data.py's fused_data_system.
+
+The merged kernel recomputes the bilinear corner indices in-kernel from the
+flow strip and rebuilds the conv halos with the _xrepl/_yrepl edge
+replication instead of jnp.pad; in-image math is the identical f32 sequence,
+so agreement should be at rounding level for every ladder variant and exact
+when both sides take the banded fallback.
+"""
+import numpy as np
+import pytest
+
+
+import jax.numpy as jnp
+
+from slowflow_tpu.variational.fused_data import fused_data_system
+from slowflow_tpu.variational.fused_warp import (fused_warp_data,
+                                                 fused_warp_data_batched)
+from slowflow_tpu.variational.multiframe import MultiFrameParams
+from slowflow_tpu.core.warp_shift import warp_stack_auto
+
+
+def _problem(h, w, flow_scale, seed=0, S=3, flow_bias=(0.0, 0.0)):
+    rng = np.random.default_rng(seed)
+    f = 2 * (S - 1) + 1
+    seq = jnp.asarray(rng.random((f, 3, h, w)) * 255, jnp.float32)
+    # smooth flow so strips stay coherent (like real jets)
+    wx = rng.normal(0, 1, (h // 8 + 2, w // 8 + 2))
+    wy = rng.normal(0, 1, (h // 8 + 2, w // 8 + 2))
+    wx = np.kron(wx, np.ones((8, 8)))[:h, :w] * flow_scale + flow_bias[0]
+    wy = np.kron(wy, np.ones((8, 8)))[:h, :w] * flow_scale + flow_bias[1]
+    wx = jnp.asarray(wx, jnp.float32)
+    wy = jnp.asarray(wy, jnp.float32)
+    du = jnp.asarray(rng.normal(0, 0.2, (h, w)), jnp.float32)
+    dv = jnp.asarray(rng.normal(0, 0.2, (h, w)), jnp.float32)
+    cw = jnp.asarray(0.5 + rng.random((3, h, w)), jnp.float32)
+    mask = jnp.asarray(rng.random((2 * (S - 1), h, w)) > 0.1, jnp.float32)
+    return seq, wx, wy, mask, du, dv, cw
+
+
+def _reference(seq, wx, wy, mask, du, dv, cw, p, mode):
+    ref = p.ref
+    warped, _ = warp_stack_auto(seq, wx, wy, ref, interpret=True)
+    return fused_data_system(warped, mask, du, dv, cw, p, mode=mode,
+                             interpret=True)
+
+
+P = MultiFrameParams(S=3, alpha=4.0, gamma=6.0, delta=1.0,
+                     rho=(1.0, 1.0), omega=(0.0, 2.0),
+                     occlusion_reasoning=True, smoothing=1)
+
+
+@pytest.mark.parametrize("mode", ["assembly", "occ"])
+@pytest.mark.parametrize("flow_scale,bias", [
+    (0.3, (0.0, 0.0)),       # tiny motion: cheapest ladder entry
+    (1.2, (1.5, -0.8)),      # bench-like jet motion
+    (2.4, (2.0, 1.0)),       # outer frames need the wide variant
+])
+def test_merged_matches_two_kernel(mode, flow_scale, bias):
+    seq, wx, wy, mask, du, dv, cw = _problem(45, 61, flow_scale,
+                                             seed=3, flow_bias=bias)
+    want = _reference(seq, wx, wy, mask, du, dv, cw, P, mode)
+    got = fused_warp_data(seq, wx, wy, mask, du, dv, cw, P, mode=mode,
+                          interpret=True)
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_merged_fallback_on_large_motion():
+    # |flow| far beyond every ladder entry: both sides take the banded warp
+    seq, wx, wy, mask, du, dv, cw = _problem(40, 48, 1.0, seed=5,
+                                             flow_bias=(14.0, -11.0))
+    want = _reference(seq, wx, wy, mask, du, dv, cw, P, "assembly")
+    got = fused_warp_data(seq, wx, wy, mask, du, dv, cw, P, interpret=True)
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_merged_batched_matches_per_item():
+    b = 3
+    items = [_problem(37, 52, 0.9, seed=10 + i, flow_bias=(1.0, -0.5))
+             for i in range(b)]
+    stacked = [jnp.stack([it[j] for it in items]) for j in range(7)]
+    outs = fused_warp_data_batched(*stacked, P, interpret=True)
+    for i, it in enumerate(items):
+        want = fused_warp_data(*it, P, interpret=True)
+        for g, wv in zip(outs, want):
+            np.testing.assert_allclose(np.asarray(g[i]), np.asarray(wv),
+                                       rtol=2e-5, atol=2e-4)
+
+
+def test_merged_occ_mode_masks_raw():
+    # occ mode with an all-ones mask on a constant-motion scene: the energy
+    # planes must be finite and the to-reference terms dominated by motion
+    seq, wx, wy, mask, du, dv, cw = _problem(40, 48, 0.0, seed=7,
+                                             flow_bias=(1.0, 0.0))
+    e0, e1 = fused_warp_data(seq, wx, wy, jnp.ones_like(mask),
+                             jnp.zeros_like(du), jnp.zeros_like(dv), cw,
+                             P, mode="occ", interpret=True)
+    assert np.isfinite(np.asarray(e0)).all()
+    assert np.isfinite(np.asarray(e1)).all()

@@ -113,6 +113,37 @@ def test_batch_path_equivalence():
     assert (np.asarray(occ_u) != np.asarray(occ_v)).mean() < 0.01
 
 
+def test_merge_warp_full_solve_equivalence():
+    """The merged warp+assembly kernel (merge_warp=True, fused_warp.py)
+    drives the full coarse-to-fine solve to the same flow as the two-kernel
+    path it replaces — warp and assembly arithmetic are the identical f32
+    sequences, so agreement is at float-reassociation level."""
+    import dataclasses
+
+    h, w, S = 36, 40, 3
+    seq = _window(h, w, 0.9, -0.5, S)
+    p = MultiFrameParams(S=S, rho=(1.0, 1.0), omega=(0.0, 2.0), layers=2,
+                         p_scale=0.7, niter_alter=2, niter_outer=3,
+                         occlusion_reasoning=True)
+    z = jnp.zeros((h, w))
+    wx0, wy0, occ0 = variational_mt(z, z, seq, p)
+    p_m = dataclasses.replace(p, merge_warp=True)
+    wx1, wy1, occ1 = variational_mt(z, z, seq, p_m)
+    np.testing.assert_allclose(np.asarray(wx1), np.asarray(wx0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(wy1), np.asarray(wy0), atol=2e-4)
+    assert (np.asarray(occ0) != np.asarray(occ1)).mean() < 0.01
+    # the vmapped batch route (jet_vmap) with the merged kernel: the
+    # custom_vmap wrapper must survive the while/cond nesting (JAX's
+    # const-batching assert) and agree with the unrolled route
+    from slowflow_tpu.variational.multiframe import variational_mt_batched
+    p_v = dataclasses.replace(p, merge_warp=True, jet_vmap=True)
+    wxb, wyb, occb = variational_mt_batched(
+        jnp.zeros((1, h, w)), jnp.zeros((1, h, w)), seq[None], p_v)
+    np.testing.assert_allclose(np.asarray(wxb[0]), np.asarray(wx1),
+                               atol=2e-4)
+    assert (np.asarray(occb[0]) != np.asarray(occ1)).mean() < 0.01
+
+
 def _potts_energy(lab, e0, e1, alpha):
     lab = lab.astype(bool)
     e = np.where(lab, e1, e0).sum()
