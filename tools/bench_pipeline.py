@@ -198,6 +198,10 @@ def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
     solves = 2 * jets                       # forward + backward per jet
     return {
         "pipeline_s": round(t1 + t2 + t3, 2),
+        # whole-pipeline amortized jet throughput: the north-star metric
+        # (frame-pairs/sec) charged with EVERY cost — stage-1 sampling,
+        # EPIC init, I/O, device solves, and dense tracking
+        "pipeline_jets_per_sec": round(jets / (t1 + t2 + t3), 3),
         "stage1_adaptive_fr_s": round(t1, 2),
         "stage2_slow_flow_s": round(t2, 2),
         "stage2_solves": solves,

@@ -33,6 +33,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--solve-only", action="store_true")
     ap.add_argument("--phase-only", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="solve sweep over batch x {unroll, jet_vmap} x "
+                         "{merge_warp off/on}; picks the jets/s champion")
     args = ap.parse_args()
 
     import jax
@@ -113,26 +116,55 @@ def main():
         print(f"merged data-term eval     : {t_m * 1e3:7.3f} ms"
               f"   ({t_two / t_m:.2f}x)")
 
-    if not args.phase_only:
-        batch = 4
+    def time_solve(batch, pv, repeats=5):
         seq = jnp.asarray(np.stack(
             [_moving_sequence(F, H, W, 1.5 + 0.2 * s, -0.8, seed=s)
              for s in range(batch)]))
         z = jnp.zeros((batch, H, W), jnp.float32)
         jax.block_until_ready(seq)
+
+        def run():
+            out = variational_mt_batched(z, z, seq, pv)
+            return float(sum(jnp.sum(o) for o in out))
+
+        run()
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    if args.sweep:
+        # the batched custom_vmap kernels flatten the jet batch into the
+        # strip grid — larger batches amortize per-kernel latency, which the
+        # roofline says dominates at 480x270 (15% VPU / 7% HBM util).
+        best = (None, 0.0)
+        for merge in (False, True):
+            for mode, batches in (("unroll", (4,)), ("vmap", (4, 8, 16))):
+                for b in batches:
+                    pv = replace(p, merge_warp=merge,
+                                 jet_vmap=(mode == "vmap"),
+                                 unroll_jets=(mode == "unroll"))
+                    try:
+                        t = time_solve(b, pv, repeats=3)
+                    except Exception as e:
+                        print(f"b{b:<2} {mode:6} merge={int(merge)}: "
+                              f"FAILED {repr(e)[:80]}")
+                        continue
+                    jps = b / t
+                    print(f"b{b:<2} {mode:6} merge={int(merge)}: "
+                          f"{t:6.3f} s/batch {jps:5.2f} jets/s")
+                    if jps > best[1]:
+                        best = ((b, mode, merge), jps)
+        print(f"champion: {best[0]} at {best[1]:.2f} jets/s")
+        return
+
+    if not args.phase_only:
+        batch = 4
         for label, pv in (("merge_warp=False", replace(p, merge_warp=False)),
                           ("merge_warp=True ", replace(p, merge_warp=True))):
-            def run():
-                out = variational_mt_batched(z, z, seq, pv)
-                return float(sum(jnp.sum(o) for o in out))
-
-            run()
-            times = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                run()
-                times.append(time.perf_counter() - t0)
-            best = min(times)
+            best = time_solve(batch, pv)
             print(f"solve {label}: {best:6.3f} s/batch "
                   f"{batch / best:5.2f} jets/s")
 
