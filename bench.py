@@ -210,6 +210,21 @@ def dt_final_pair_seconds(h=270, w=480, jets=10, seed=0):
     return wall, err
 
 
+def _backend_reachable(timeout_s=300):
+    """Probe JAX device discovery in a subprocess with a hard timeout: when
+    the tunneled TPU backend is down, `jax.devices()` hangs indefinitely
+    instead of erroring, which would hang the whole bench run."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
@@ -222,6 +237,19 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="reduced workload for smoke testing")
     args = ap.parse_args()
+
+    if not (args.small or os.environ.get("JAX_PLATFORMS") == "cpu") \
+            and not _backend_reachable():
+        # emit a well-formed line rather than hanging the driver; the last
+        # measured numbers live in BENCH_r*.json
+        print(json.dumps({
+            "metric": "frame-pairs/sec per chip (1080p jets @ scale 0.25, "
+                      "S=3, full slow_flow config)",
+            "value": 0.0, "unit": "jets/s", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (device discovery timed out); "
+                     "tunnel outage — see the previous round's BENCH json "
+                     "for the last measured values"}))
+        return
 
     from slowflow_tpu.variational.multiframe import MultiFrameParams
 

@@ -175,6 +175,20 @@ class MultiFrameParams:
             one_direction=(params.exists("slow_flow_method")
                            and params.parameter("slow_flow_method") == "forward"),
             hbit=params.parameter("16bit", "0", bool),
+            # kernel-route knobs (TPU-only; no reference analogue): which
+            # warp/assembly implementations the solve uses. Defaults follow
+            # the dataclass (the measured champion on the target chip).
+            warp_mode=params.parameter("slow_flow_warp_mode",
+                                       cls.warp_mode, str),
+            fused_data=params.parameter("slow_flow_fused_data",
+                                        "1" if cls.fused_data else "0", bool),
+            merge_warp=params.parameter("slow_flow_merge_warp",
+                                        "1" if cls.merge_warp else "0", bool),
+            jet_vmap=params.parameter("slow_flow_jet_vmap",
+                                      "1" if cls.jet_vmap else "0", bool),
+            unroll_jets=params.parameter("slow_flow_unroll_jets",
+                                         "1" if cls.unroll_jets else "0",
+                                         bool),
         )
 
 

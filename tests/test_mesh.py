@@ -100,6 +100,29 @@ def test_shard_map_jet_axis_bitwise_vs_single():
                                       err_msg=name)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shard_map_merge_warp_bitwise_vs_single():
+    """The merged warp+assembly kernel (merge_warp=True) composes with
+    shard_map jet sharding: sharded vs single-device unrolled runs must stay
+    bitwise equal, exactly like the two-kernel path — guards the composition
+    if the merge_warp default flips after the on-chip A/B."""
+    from slowflow_tpu.variational.multiframe import (
+        variational_mt_batched, variational_mt_sharded)
+
+    p = MultiFrameParams(S=3, rho=(1.0, 1.0), omega=(0.0, 2.0), layers=1,
+                         niter_alter=1, niter_outer=2, niter_solver=6,
+                         occlusion_reasoning=True, smoothing=1,
+                         merge_warp=True)
+    args = _inputs(8, 3, 32, 40)
+    mesh = make_mesh(n_jet=8, n_sp=1)
+    wx, wy, seq, cw, na, ns = args
+    sharded = variational_mt_sharded(wx, wy, seq, p, mesh, cw, na, ns)
+    single = variational_mt_batched(wx, wy, seq, p, cw, na, ns)
+    for a, b, name in zip(sharded, single, ("wx", "wy", "occ")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
 def test_shard_map_local_batched_kernels_vs_single():
     """shard_map over jet with a LOCAL batch > 1 per device routes each

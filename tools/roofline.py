@@ -64,9 +64,14 @@ def phase_work():
     sor_bytes = 11 * PLANE_MB * 1e6                 # in/out once; VMEM-resident
     smooth_flops = px * 70
     smooth_bytes = 6 * PLANE_MB * 1e6
+    # merged warp+assembly (fused_warp.py): same arithmetic as warp +
+    # assembly, minus the warped stack's HBM write + re-read (2*F*C planes)
+    merged_flops = warp_flops + deriv_flops
+    merged_bytes = warp_bytes + deriv_bytes - 2 * F * C * PLANE_MB * 1e6
     return {
         "warp": (warp_flops, warp_bytes),
         "assembly": (deriv_flops, deriv_bytes),
+        "merged": (merged_flops, merged_bytes),
         "sor30": (sor_flops, sor_bytes),
         "smoothness": (smooth_flops, smooth_bytes),
     }
@@ -136,6 +141,12 @@ def measure():
         return compute_smoothness_mt(uu, vv, dw, p.alpha, reg_pen,
                                      p.smoothing)
 
+    from slowflow_tpu.variational.fused_warp import fused_warp_data
+
+    def f_merged(seq, wx, wy, gated, du, dv, cw):
+        return fused_warp_data(seq, wx, wy, gated, du, dv, cw, p,
+                               mode="assembly", interpret=interp)
+
     du = jnp.zeros((H, W))
     dv = jnp.zeros((H, W))
     a = jnp.ones((H, W))
@@ -148,6 +159,7 @@ def measure():
     times = {
         "warp": timed(f_warp, 100, seq, wx, wy),
         "assembly": timed(f_assembly, 100, warped, gated, du, dv, cw),
+        "merged": timed(f_merged, 100, seq, wx, wy, gated, du, dv, cw),
         "sor30": timed(f_sor, 1000, du, dv, a, b, a, b, b, wh, wv),
         "smoothness": timed(f_smooth, 1000, wx, wy, plane),
     }
@@ -173,9 +185,13 @@ def main():
             "vpu_util": round(fl / t / 1e12 / VPU_TFLOPS, 3),
             "hbm_util": round(by / t / 1e9 / HBM_GBS, 3),
         }
-        total_t += t
-        total_f += fl
-        total_b += by
+        if k != "merged":
+            # "merged" is an ALTERNATIVE to warp+assembly, not an extra
+            # phase: the outer-iteration total reflects the two-kernel
+            # composition; compare phases.merged against warp+assembly
+            total_t += t
+            total_f += fl
+            total_b += by
     out = {
         "outer_iter_ms": round(total_t * 1e3, 3),
         "outer_iter_gflop": round(total_f / 1e9, 3),
