@@ -28,7 +28,7 @@ from ..core.image import normalize_sequence, rgb_to_lab, resize_bilinear
 from ..core.conv import DERIV_5PT, conv_horiz, conv_vert
 from ..epic import EpicParams
 from ..epic.edges import detect_edges
-from ..tracking.driver import TrackingConfig, track_final_pair
+from ..tracking.driver import TrackingConfig, track_final_pairs_batched
 from .common import frame_path, load_frame, unique_output_dir
 
 
@@ -129,8 +129,13 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
                   unary=0.0, pairwise=0.0, optimization=0.0)
 
     stats = {"variables": [], "factors": []}
-    for start_jet in range(selected, selected_end):
-        t_start = time.time()
+
+    def prepare(start_jet):
+        """Host-side context for one final pair: frame I/O, normalization,
+        derivative stacks, jet-estimation ingestion, EPIC context. Runs on
+        prefetch threads so final k+1's I/O overlaps final k's device
+        alternation (the reference instead OpenMPs whole finals across
+        cores, dense_tracking.cpp:726-727). Returns a job dict or None."""
         tp = ParameterList(clone=params)
         tp.sequence_start = params.sequence_start + start_jet * jets * steps * skip
 
@@ -140,7 +145,7 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
             ("s" + flow_format % (tp.sequence_start, 0)) + ".flo")
         if os.path.exists(final_file):
             print(f"Flow file {final_file} already exists!")
-            continue
+            return None
 
         # ------------------------------------------ read the image sequence
         data = []
@@ -158,7 +163,7 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
                 img = np.repeat(lum[None], 3, 0)
             data.append(img)
         if not ok:
-            continue
+            return None
         stack = np.stack(data)                       # [J+1, 3, H, W]
         oh, ow = stack.shape[2:]
 
@@ -231,7 +236,7 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
                 forward, backward = fwd, bwd
                 occl_min = occ
         if not ok or forward is None:
-            continue
+            return None
 
         # ---------------------------------------- oracle GT ingestion
         # acc_oracle loads GT flow + occlusions and snapshots the occlusion
@@ -271,22 +276,68 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
             imlab = np.asarray(rgb_to_lab(jnp.asarray(ref8)))
             epic_ctx = (imlab, edges, EpicParams.sintel())
 
-        flow, occ_map, info = track_final_pair(
-            cfg, rate_flows, forward, backward, occl_min,
-            data_hw, dx_hw, dy_hw, sw, weight_jet, epic_ctx,
-            verbose=tp.verbosity(Verbosity.VER_CMD))
+        return dict(start_jet=start_jet, final_file=final_file,
+                    sequence_start=tp.sequence_start,
+                    rate_flows=rate_flows, forward=forward,
+                    backward=backward, occlusions=occl_min,
+                    data=data_hw, data_dx=dx_hw, data_dy=dy_hw,
+                    smooth_weight=sw, epic_ctx=epic_ctx)
 
-        stats["variables"].extend(info.get("variables", []))
-        stats["factors"].extend(info.get("factors", []))
+    verbose = params.verbosity(Verbosity.VER_CMD)
+    n_threads = max(1, threads or 1)
+    batch_n = min(n_threads, 8)     # finals per batched dispatch chain
+
+    def flush(jobs):
+        t0 = time.time()
+        flows, occs, info = track_final_pairs_batched(
+            cfg, jobs, weight_jet, verbose=verbose,
+            init_workers=n_threads)
+        for job, flow, occ_map in zip(jobs, flows, occs):
+            stats["variables"].extend(info.get("variables", []))
+            stats["factors"].extend(info.get("factors", []))
+            write_flo(job["final_file"], flow)
+            write_pbm(acc_folder
+                      + f"occlusions/frame_{job['sequence_start']}.pbm",
+                      occ_map)
+            vis = flow_color_img(flow[..., 0], flow[..., 1])
+            write_image(os.path.splitext(job["final_file"])[0] + "_vis.png",
+                        vis)
         for k, v in info.get("timing", {}).items():
             timing[k] = timing.get(k, 0.0) + v
-        write_flo(final_file, flow)
-        write_pbm(acc_folder + f"occlusions/frame_{tp.sequence_start}.pbm",
-                  occ_map)
-        vis = flow_color_img(flow[..., 0], flow[..., 1])
-        write_image(os.path.splitext(final_file)[0] + "_vis.png", vis)
-        print(f"Final pair {start_jet} done "
-              f"({time.time() - t_start:.1f}s) -> {final_file}")
+        wall = time.time() - t0
+        for job in jobs:
+            print(f"Final pair {job['start_jet']} done "
+                  f"({wall / len(jobs):.1f}s) -> {job['final_file']}")
+
+    # prefetch window: final k+1's I/O + EPIC context load on worker
+    # threads while final k's batch runs its device alternation
+    ids = list(range(selected, selected_end))
+    pending = []
+    if n_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = batch_n + n_threads
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = {i: ex.submit(prepare, i) for i in ids[:window]}
+            for n, i in enumerate(ids):
+                nxt = n + window
+                if nxt < len(ids):
+                    futs[ids[nxt]] = ex.submit(prepare, ids[nxt])
+                job = futs.pop(i).result()
+                if job is None:
+                    continue
+                pending.append(job)
+                if len(pending) >= batch_n:
+                    flush(pending)
+                    pending = []
+            if pending:
+                flush(pending)
+    else:
+        for i in ids:
+            job = prepare(i)
+            if job is None:
+                continue
+            flush([job])
 
     # phase breakdown in the reference's exact row format
     # (dense_tracking.cpp:1951-1964); the per-alternation Variables/Factors

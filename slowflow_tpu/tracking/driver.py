@@ -407,11 +407,17 @@ def _epic_hypotheses(acc, consistent, cfg: TrackingConfig, epic_ctx):
 def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
                         sim_thres, ep, has_occ, strides, base_radius,
                         base_want, ntry, group, n_rates, use_consistent,
-                        xy_incr, xy_start, _cache={}):
+                        xy_incr, xy_start, batched=False, _cache={}):
     """One jitted program for a full propagation pass: both lattice strides,
     all tryout groups, gathers, and the reference's sequential insertion
     semantics (dense_tracking.cpp:1434-1583). The only inputs that move are
     a PRNG key; the bank never leaves the device.
+
+    With `batched=True` the program is vmapped over a leading final-pair
+    axis F on everything except the PRNG key and weight_jet (shared): F
+    final pairs advance in ONE dispatch chain, amortizing the per-kernel
+    dispatch latency that dominates stage 3 (the reference instead OpenMPs
+    whole finals across cores, dense_tracking.cpp:726-727).
 
     Decoupled insert/evaluate: insertion decisions depend only on source
     validity, the `want` budget, and trajectory-similarity rejection — never
@@ -429,12 +435,11 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
 
     key_s = (pen_fct, pen_eps, occ_thr, fb_thr, sim_method, sim_thres, ep,
              has_occ, strides, base_radius, base_want, ntry, group, n_rates,
-             use_consistent, xy_incr, xy_start)
+             use_consistent, xy_incr, xy_start, batched)
     if key_s in _cache:
         return _cache[key_s]
     pen_d = make_penalty(pen_fct, pen_eps)
 
-    @jax.jit
     def run(bank, key, consistent, forward, backward, data, ddx, ddy,
             weight_jet, *extra):
         occ_masks = extra[0] if has_occ else None
@@ -550,52 +555,106 @@ def _propagation_kernel(pen_fct, pen_eps, occ_thr, fb_thr, sim_method,
             energy=jnp.where(inserted, energy_all, bank["energy"]),
         )
 
+    if batched:
+        in_axes = ((0, None, 0, 0, 0, 0, 0, 0, None)
+                   + ((0,) if has_occ else ()))
+        run = jax.jit(jax.vmap(run, in_axes=in_axes))
+    else:
+        run = jax.jit(run)
     _cache[key_s] = run
     return run
 
 
 def _selection_kernels(sim_method, sim_thres, beta, spatial_occ, approach,
-                       trws_iters, trws_eps, xy_incr, xy_start, _cache={}):
-    """Jitted NMS + unary/pairwise construction + TRW/BP solve."""
+                       trws_iters, trws_eps, xy_incr, xy_start,
+                       batched=False, _cache={}):
+    """Jitted NMS + unary/pairwise construction + TRW/BP solve. With
+    `batched=True` every kernel is vmapped over a leading final-pair axis."""
     import jax
     import jax.numpy as jnp
 
     key = (sim_method, sim_thres, beta, spatial_occ, approach, trws_iters,
-           trws_eps, xy_incr, xy_start)
+           trws_eps, xy_incr, xy_start, batched)
     if key in _cache:
         return _cache[key]
 
-    @jax.jit
     def nms(bank):
         return _bank_nms(bank, sim_method, sim_thres)
 
-    @jax.jit
     def unary_of(bank):
         return jnp.where(bank["valid"], bank["energy"], BIG)
 
-    @jax.jit
     def pairwise_of(bank, smooth_weight):
         safe = jnp.where(bank["valid"][..., None, None], bank["flows"], 0.0)
         return pairwise_costs(safe, bank["occl"], smooth_weight, beta,
                               spatial_occ, sim_method, xy_incr, xy_start)
 
-    @jax.jit
     def solve(unary, cost_r, cost_d):
         return solve_multilabel(unary, cost_r, cost_d, iters=trws_iters,
                                 approach=approach, eps=trws_eps)
 
-    @jax.jit
     def sort_first(bank):
         return _bank_sort(bank)
 
-    @jax.jit
     def sort_keep(bank, selected, keep_n):
         bank = _bank_sort(bank, keep_first=selected)
         return _bank_truncate(bank, keep_n)
 
-    kernels = (nms, unary_of, pairwise_of, solve, sort_first, sort_keep)
+    if batched:
+        nms = jax.vmap(nms)
+        unary_of = jax.vmap(unary_of)
+        pairwise_of = jax.vmap(pairwise_of)
+        solve = jax.vmap(solve)
+        sort_first = jax.vmap(sort_first)
+        sort_keep = jax.vmap(sort_keep, in_axes=(0, 0, None))
+    kernels = tuple(jax.jit(f) for f in
+                    (nms, unary_of, pairwise_of, solve, sort_first,
+                     sort_keep))
     _cache[key] = kernels
     return kernels
+
+
+def _init_final_state(cfg: TrackingConfig, rate_flows, forward, backward,
+                      occlusions, data, data_dx, data_dy, weight_jet,
+                      epic_ctx, timing):
+    """Initial hypothesis bank for one final pair: per-rate accumulation,
+    EPIC interpolation, energies, plus the guaranteed zero-flow outlier.
+    Returns (bank, consistent [h, w] bool)."""
+    import jax.numpy as jnp
+
+    J = cfg.jets
+    xy_incr = cfg.skip_pixel + 1
+    oh, ow = data.shape[1:3]
+    h = int(np.floor(oh / xy_incr))
+    w = int(np.floor(ow / xy_incr))
+
+    bank = _new_bank(h, w, cfg.capacity, J)
+    bank, consistent = build_initial_hypotheses(
+        bank, cfg, rate_flows, forward, backward, occlusions,
+        data, data_dx, data_dy, weight_jet, epic_ctx, timing)
+
+    # guarantee at least one hypothesis everywhere: zero-flow outlier
+    zero_flow = jnp.zeros((h, w, J, 2), jnp.float32)
+    occl0 = jnp.ones((h, w, J + 1), jnp.int32).at[..., 0].set(0)
+    energy0 = jnp.full((h, w), 1e6, jnp.float32)
+    bank, _ = _bank_insert(bank, zero_flow, occl0, energy0, 0,
+                           ~bank["valid"].any(-1))
+    return bank, consistent
+
+
+def _readback(flows, occl, selected, K, J, xy_incr):
+    """Final flow + occlusion map from the selected slot per pixel: one
+    [h, w, ...] gather on device, two small fetches."""
+    import jax.numpy as jnp
+
+    sel_onehot = (jnp.arange(K)[None, None]
+                  == selected[..., None])                       # [h, w, K]
+    final_flow = jnp.einsum(
+        "hwk,hwkd->hwd", sel_onehot.astype(jnp.float32),
+        flows[:, :, :, J - 1]) / xy_incr
+    occ_any = (jnp.einsum("hwk,hwk->hw", sel_onehot.astype(jnp.float32),
+                          occl.max(-1).astype(jnp.float32)) > 0.5)
+    return final_flow, occ_any
 
 
 def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
@@ -630,17 +689,9 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
     timing = {"warp": 0.0, "median": 0.0, "data": 0.0,
               "unary": 0.0, "pairwise": 0.0, "optimization": 0.0}
 
-    bank = _new_bank(h, w, cfg.capacity, J)
-    bank, consistent = build_initial_hypotheses(
-        bank, cfg, rate_flows, forward, backward, occlusions,
+    bank, consistent = _init_final_state(
+        cfg, rate_flows, forward, backward, occlusions,
         data, data_dx, data_dy, weight_jet, epic_ctx, timing)
-
-    # guarantee at least one hypothesis everywhere: zero-flow outlier
-    zero_flow = jnp.zeros((h, w, J, 2), jnp.float32)
-    occl0 = jnp.ones((h, w, J + 1), jnp.int32).at[..., 0].set(0)
-    energy0 = jnp.full((h, w), 1e6, jnp.float32)
-    bank, _ = _bank_insert(bank, zero_flow, occl0, energy0, 0,
-                           ~bank["valid"].any(-1))
 
     occ_masks = jnp_occ(occlusions)
     ep = cfg.energy_params()
@@ -708,14 +759,162 @@ def track_final_pair(cfg: TrackingConfig, rate_flows, forward, backward,
                   f"lower_bound={float(lb):.1f} "
                   f"hyps={int(np.asarray(bank['valid']).sum())}")
 
-    # final readback: one [h, w, ...] gather on device, two small fetches
-    sel_onehot = (jnp.arange(cfg.capacity)[None, None]
-                  == selected[..., None])                       # [h, w, K]
-    final_flow = jnp.einsum(
-        "hwk,hwkd->hwd", sel_onehot.astype(jnp.float32),
-        bank["flows"][:, :, :, J - 1]) / xy_incr
-    occ_any = (jnp.einsum("hwk,hwk->hw", sel_onehot.astype(jnp.float32),
-                          bank["occl"].max(-1).astype(jnp.float32)) > 0.5)
+    final_flow, occ_any = _readback(bank["flows"], bank["occl"], selected,
+                                    cfg.capacity, J, xy_incr)
     flow_np = np.asarray(final_flow, np.float32)
     occ_map = np.asarray(occ_any).astype(np.uint8) * 255
     return flow_np, occ_map, info
+
+
+def track_final_pairs_batched(cfg: TrackingConfig, jobs, weight_jet=None,
+                              verbose=False, init_workers=0):
+    """Alternating optimization for F final frame pairs in ONE batched
+    dispatch chain.
+
+    The reference parallelizes stage 3 by OpenMP-ing whole final pairs
+    across CPU cores (dense_tracking.cpp:726-727). The TPU analogue is
+    batching: the per-final tensors are identical shapes, so the bank
+    pytree gains a leading F axis and every alternation kernel runs
+    vmapped — F finals cost one dispatch chain instead of F, amortizing
+    the dispatch latency that dominates the (latency-bound) device side.
+
+    jobs: list of dicts with keys rate_flows, forward, backward,
+    occlusions, data, data_dx, data_dy, smooth_weight, epic_ctx — the
+    same per-final inputs as `track_final_pair`. All jobs must share
+    shapes and occlusion availability. The per-final bank initialization
+    (host-heavy: accumulation + EPIC interpolation) optionally overlaps
+    on `init_workers` threads.
+
+    Returns (flows list of [h, w, 2], occ_maps list of uint8 [h, w], info).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    if weight_jet is None:
+        weight_jet = np.arange(cfg.rates, dtype=np.float32)
+    F = len(jobs)
+    timing = {"warp": 0.0, "median": 0.0, "data": 0.0,
+              "unary": 0.0, "pairwise": 0.0, "optimization": 0.0}
+    if F == 1:
+        j = jobs[0]
+        flow, occ, info = track_final_pair(
+            cfg, j["rate_flows"], j["forward"], j["backward"],
+            j["occlusions"], j["data"], j["data_dx"], j["data_dy"],
+            j["smooth_weight"], weight_jet, j.get("epic_ctx"),
+            verbose=verbose)
+        return [flow], [occ], info
+
+    has_occ = jobs[0]["occlusions"] is not None
+    assert all((j["occlusions"] is not None) == has_occ for j in jobs), \
+        "all batched finals must agree on jet-occlusion availability"
+
+    J = cfg.jets
+    xy_incr = cfg.skip_pixel + 1
+    xy_start = int(0.5 * cfg.skip_pixel)
+
+    def init_one(job):
+        t = {}
+        bank, consistent = _init_final_state(
+            cfg, job["rate_flows"], job["forward"], job["backward"],
+            job["occlusions"], job["data"], job["data_dx"], job["data_dy"],
+            weight_jet, job.get("epic_ctx"), t)
+        return bank, consistent, t
+
+    if init_workers and init_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(init_workers, F)) as ex:
+            inits = list(ex.map(init_one, jobs))
+    else:
+        inits = [init_one(j) for j in jobs]
+    for _, _, t in inits:
+        for k, v in t.items():
+            timing[k] = timing.get(k, 0.0) + v
+
+    # stack the banks and per-final inputs along a leading F axis
+    bank = {k: jnp.stack([b[k] for b, _, _ in inits])
+            for k in inits[0][0]}
+    consistent_j = jnp.stack([jnp.asarray(c) for _, c, _ in inits])
+    forward_j = jnp.stack([jnp.asarray(j["forward"]) for j in jobs])
+    backward_j = jnp.stack([jnp.asarray(j["backward"]) for j in jobs])
+    data_j = jnp.stack([jnp.asarray(j["data"]) for j in jobs])
+    ddx_j = jnp.stack([jnp.asarray(j["data_dx"]) for j in jobs])
+    ddy_j = jnp.stack([jnp.asarray(j["data_dy"]) for j in jobs])
+    smooth_weight_j = jnp.stack(
+        [jnp.asarray(j["smooth_weight"]) for j in jobs])
+    weight_jet_j = jnp.asarray(weight_jet, jnp.float32)
+    extra = ((jnp.stack([jnp_occ(j["occlusions"]) for j in jobs]),)
+             if has_occ else ())
+
+    h, w = bank["energy"].shape[1:3]
+    ep = cfg.energy_params()
+    group = max(1, min(4, cfg.hyp_neigh_tryouts))
+    nms_k, unary_of, pairwise_of, solve, sort_first, sort_keep = \
+        _selection_kernels(cfg.traj_sim_method, cfg.traj_sim_thres,
+                           cfg.acc_beta, cfg.acc_spatial_occ, cfg.approach,
+                           cfg.trws_max_iter, cfg.trws_eps, xy_incr,
+                           xy_start, batched=True)
+
+    # every final uses the same PRNG stream as a serial run would
+    # (track_final_pair seeds PRNGKey(cfg.seed) per final), so batched and
+    # serial runs propose identical candidates
+    key = jax.random.PRNGKey(cfg.seed)
+
+    selected = None
+    info = {"variables": [], "factors": [], "timing": timing}
+    for p_it in range(cfg.alternate):
+        if p_it == 0:
+            bank = sort_first(bank)
+        else:
+            bank = sort_keep(bank, selected, 1 + cfg.perturb_keep)
+
+        propagate = _propagation_kernel(
+            cfg.penalty_fct_data, cfg.penalty_fct_data_eps,
+            cfg.occlusion_threshold, cfg.occlusion_fb_threshold,
+            cfg.traj_sim_method, cfg.traj_sim_thres, ep,
+            has_occ, (cfg.nn_skip1, cfg.nn_skip2),
+            cfg.neigh_hyp_radius, cfg.neigh_hyp, cfg.hyp_neigh_tryouts,
+            group, len(weight_jet), p_it == 0, xy_incr, xy_start,
+            batched=True)
+        t0 = _time.time()
+        bank = propagate(bank, jax.random.fold_in(key, p_it), consistent_j,
+                         forward_j, backward_j, data_j, ddx_j, ddy_j,
+                         weight_jet_j, *extra)
+        bank = nms_k(bank)
+        jax.block_until_ready(bank["energy"])
+        timing["data"] += _time.time() - t0
+
+        t0 = _time.time()
+        unary = unary_of(bank)
+        jax.block_until_ready(unary)
+        timing["unary"] += _time.time() - t0
+
+        t0 = _time.time()
+        cost_r, cost_d = pairwise_of(bank, smooth_weight_j)
+        jax.block_until_ready((cost_r, cost_d))
+        timing["pairwise"] += _time.time() - t0
+
+        t0 = _time.time()
+        labels, energy, lb = solve(unary, cost_r, cost_d)
+        selected = labels
+        jax.block_until_ready(labels)
+        timing["optimization"] += _time.time() - t0
+        info["variables"].append(h * w)
+        info["factors"].append(int(2 * h * w - h - w + h * w))
+        if verbose:
+            print(f"  alternate {p_it} (batch {F}): "
+                  f"energy={np.asarray(energy).sum():.1f} "
+                  f"lower_bound={np.asarray(lb).sum():.1f}")
+
+    from functools import partial
+
+    readback = jax.jit(jax.vmap(
+        partial(_readback, K=cfg.capacity, J=J, xy_incr=xy_incr)))
+    flow_b, occ_b = readback(bank["flows"], bank["occl"], selected)
+    flows_np = np.asarray(flow_b, np.float32)
+    occs_np = np.asarray(occ_b)
+    return ([flows_np[i] for i in range(F)],
+            [occs_np[i].astype(np.uint8) * 255 for i in range(F)],
+            info)

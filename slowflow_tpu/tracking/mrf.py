@@ -90,30 +90,70 @@ def solve_multilabel(unary, cost_r, cost_d, iters: int = 10,
         return m_from_l, m_from_r, m_from_u, m_from_d
 
     def bound(msgs):
-        return jnp.min(beliefs(msgs), axis=-1).sum()
+        """Chain-decomposition dual (the monotone TRW-S bound contract,
+        dense_tracking.cpp:1816-1831 / Kolmogorov PAMI 2006 eq. 13).
+
+        Messages are a reparametrization of the energy for ANY values:
+        th_p = theta_p + sum_q m_qp and th_pq = theta_pq - m_qp - m_pq
+        leave E(x) unchanged (the effective message here is rho*m — that is
+        how beliefs weight them). Splitting every node term equally between
+        its row chain and its column chain covers the grid with monotonic
+        chains (each edge in exactly one, each node in exactly two); solving
+        every chain EXACTLY by min-sum DP and summing the minima is then a
+        valid lower bound on the optimum — unlike the previous
+        reparametrized-unary-minima proxy, which was not."""
+        m_l, m_r, m_u, m_d = msgs
+        th = 0.5 * (unary + rho * (m_l + m_r + m_u + m_d))
+        e_r = (cost_r[:, :-1]
+               - rho * (m_l[:, 1:, None, :] + m_r[:, :-1, :, None]))
+        e_d = (cost_d[:-1]
+               - rho * (m_u[1:, :, None, :] + m_d[:-1, :, :, None]))
+
+        def chain_step(acc, inp):
+            e, t = inp
+            return (acc[:, :, None] + e).min(1) + t, None
+
+        # row chains: DP left -> right, vectorized over rows
+        acc_r, _ = jax.lax.scan(
+            chain_step, th[:, 0],
+            (jnp.moveaxis(e_r, 1, 0), jnp.moveaxis(th, 1, 0)[1:]))
+        # column chains: DP top -> bottom, vectorized over columns
+        acc_d, _ = jax.lax.scan(chain_step, th[0], (e_d, th[1:]))
+        return acc_r.min(-1).sum() + acc_d.min(-1).sum()
 
     msgs0 = (m_from_l, m_from_r, m_from_u, m_from_d)
     if approach == 0:
         # TRW-S stopping semantics (dense_tracking.cpp:660-661 feeding
         # MRFEnergy options): iterate until the lower-bound improvement per
         # iteration falls below acc_trws_eps, capped at acc_trws_max_iter.
-        # The synchronous bound proxy is not guaranteed monotone, so the
-        # check uses the absolute change.
+        # Synchronous damped updates need one extra guard the sequential
+        # library doesn't: the chain dual is piecewise-linear, so it can
+        # plateau (delta exactly 0) an iteration or two before the damped
+        # messages stop moving — gate on the larger of the bound improvement
+        # and the message residual so the loop never exits while the state
+        # is still evolving at scale >= eps. The reported bound is the
+        # running max of the dual: monotone by construction and valid for
+        # any messages (every dual value certifies the optimum from below).
         def w_cond(c):
-            msgs, it, delta = c
-            return (it < iters) & (delta >= eps)
+            msgs, it, best, progress = c
+            return (it < iters) & (progress >= eps)
 
         def w_body(c):
-            msgs, it, _ = c
-            lb0 = bound(msgs)
+            msgs, it, best, _ = c
             new = iteration(msgs)
-            return new, it + 1, jnp.abs(bound(new) - lb0)
+            lb = bound(new)
+            res = jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(n - o)) for n, o in zip(new, msgs)]))
+            return (new, it + 1, jnp.maximum(best, lb),
+                    jnp.maximum(lb - best, res))
 
-        msgs, _, _ = jax.lax.while_loop(
-            w_cond, w_body, (msgs0, jnp.int32(0), jnp.float32(jnp.inf)))
+        msgs, _, best_lb, _ = jax.lax.while_loop(
+            w_cond, w_body,
+            (msgs0, jnp.int32(0), bound(msgs0), jnp.float32(jnp.inf)))
     else:
         # the reference's Minimize_BP runs to m_iterMax regardless of eps
         msgs = jax.lax.fori_loop(0, iters, lambda _, m: iteration(m), msgs0)
+        best_lb = bound(msgs)
 
     b = beliefs(msgs)
     labels = jnp.argmin(b, axis=-1).astype(jnp.int32)
@@ -130,8 +170,7 @@ def solve_multilabel(unary, cost_r, cost_d, iters: int = 10,
     e_d = jnp.where(idx_y < h - 1, e_d, 0.0).sum()
     energy = e_unary + e_r + e_d
 
-    lower_bound = jnp.min(b, axis=-1).sum()  # reparametrized unary minima
-    return labels, energy, lower_bound
+    return labels, energy, best_lb           # chain-decomposition dual
 
 
 def pairwise_costs(flows, occl, smooth_weight, beta, spatial_occ, method,

@@ -119,3 +119,46 @@ def test_bp_switch_runs(problem):
                                 -1)[..., 0]
     assert (picked < BIG).all()     # never selects an invalid slot
     assert float(energy) < BIG
+
+
+def test_production_bound_monotone_and_valid(problem, oracle_run):
+    """Round-4: solve_multilabel's lower_bound is now the chain-decomposition
+    dual (not the old non-monotone reparametrized-unary proxy). It must be
+    (a) a valid bound: <= its own labeling energy and <= the oracle's
+    labeling energy, (b) non-decreasing in iteration count, and (c) land
+    within 2% of the oracle's converged dual."""
+    from slowflow_tpu.tracking.mrf import solve_multilabel
+
+    unary, cost_r, cost_d = problem
+    _, _, energy_orc, bounds_orc = oracle_run
+
+    lbs = []
+    for it in (1, 2, 4, 8, 16, 30):
+        _, energy, lb = solve_multilabel(unary, cost_r, cost_d, iters=it,
+                                         approach=0, eps=-1e30)
+        lb = float(lb)
+        assert lb <= float(energy) + 1e-3, (it, lb, float(energy))
+        assert lb <= energy_orc + 1e-3, (it, lb, energy_orc)
+        lbs.append(lb)
+    lbs = np.asarray(lbs)
+    diffs = np.diff(lbs)
+    assert (diffs >= -1e-4 * np.abs(lbs[:-1])).all(), lbs
+    rel = abs(lbs[-1] - bounds_orc[-1]) / abs(bounds_orc[-1])
+    assert rel < 0.02, (lbs[-1], bounds_orc[-1], rel)
+
+
+def test_eps_gates_on_monotone_dual(problem):
+    """With the monotone dual driving the eps gate, a loose eps must stop
+    earlier (same or cheaper result) and a tight eps must reproduce the
+    full-iteration bound."""
+    from slowflow_tpu.tracking.mrf import solve_multilabel
+
+    unary, cost_r, cost_d = problem
+    _, e_full, lb_full = solve_multilabel(unary, cost_r, cost_d, iters=40,
+                                          approach=0, eps=-1e30)
+    _, e_tight, lb_tight = solve_multilabel(unary, cost_r, cost_d, iters=40,
+                                            approach=0, eps=1e-6)
+    # the tight-eps exit happens at the dual plateau: bound within 0.1%
+    assert abs(float(lb_tight) - float(lb_full)) \
+        <= 1e-3 * abs(float(lb_full)) + 1e-3
+    assert float(e_tight) <= float(e_full) * 1.005 + 1e-3
