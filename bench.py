@@ -353,9 +353,19 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), "tools"))
             from bench_pipeline import run_pipeline
             out["pipeline"] = run_pipeline(Path("/tmp/bench_pipeline_run"),
-                                           jets=8, finals=1, samples=2)
+                                           jets=8, finals=2, samples=2,
+                                           threads=2)
         except Exception as e:  # never lose the kernel numbers to stage 3
             out["pipeline_error"] = repr(e)[:200]
+        # a separately-run full-scale pipeline record (tools/bench_pipeline.py
+        # --jets 225 --save ...) rides along when present
+        for pf in ("/tmp/bench_pipeline_full.json",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools", "bench_pipeline_measured.json")):
+            if os.path.exists(pf):
+                with open(pf) as fh:
+                    out["pipeline_full"] = json.load(fh)
+                break
 
     # roofline accounting (tools/roofline.py caches its JSON when run)
     for rf in ("/tmp/roofline.json",

@@ -269,7 +269,7 @@ def main(argv=None):
         elif a == "-append":
             opts["append"] = argv[i]; i += 1
         elif a == "-threads":
-            i += 1  # accepted for parity; batching replaces threads
+            opts["threads"] = int(argv[i]); i += 1
         else:
             print(f"unknown argument {a}", file=sys.stderr)
             print(__doc__)
@@ -289,10 +289,21 @@ def main(argv=None):
             folders = [ln.strip() for ln in fh
                        if os.path.isdir(os.path.join(path, ln.strip()))]
 
-    overview = []
-    for f in folders:
-        qv = run_folder(path, f, **opts)
-        overview.append(f"{f}\t{opts['q']} quantil\t{qv}\n")
+    # sequence folders are independent; the reference OpenMPs over them
+    # (adaptiveFR.cpp:245). Here a thread pool overlaps each folder's host
+    # I/O with the others' device dispatches (per-folder sample estimation
+    # is already ONE vmapped device dispatch). Output order is preserved.
+    threads = max(1, opts.pop("threads", 1))
+    if threads > 1 and len(folders) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(threads, len(folders))) as ex:
+            qvs = list(ex.map(lambda f: run_folder(path, f, **opts),
+                              folders))
+    else:
+        qvs = [run_folder(path, f, **opts) for f in folders]
+    overview = [f"{f}\t{opts['q']} quantil\t{qv}\n"
+                for f, qv in zip(folders, qvs)]
 
     with open(os.path.join(path, "results.info"), "w") as fh:
         fh.write("Adaptive Frame rate\n\n")

@@ -79,7 +79,7 @@ def make_sequence(seq_dir: Path, n_frames: int, seed=0):
 
 
 def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
-                 batch: int = 4, verbose=False):
+                 batch: int = 4, threads: int = 1, verbose=False):
     """Returns the metrics dict; `root` is wiped first."""
     import textwrap
 
@@ -182,7 +182,10 @@ def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
     seed\t3
     """))
     t0 = time.perf_counter()
-    rc = dt_main([str(cfg3)])
+    dt_args = [str(cfg3)]
+    if threads > 1:
+        dt_args += ["-threads", str(threads)]
+    rc = dt_main(dt_args)
     assert rc == 0
     t3 = time.perf_counter() - t0
 
@@ -208,6 +211,7 @@ def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
         "stage2_solves_per_sec": round(solves / t2, 3),
         "stage3_dense_tracking_s": round(t3, 2),
         "stage3_finals": finals,
+        "stage3_threads": threads,
         "stage3_s_per_final": round(t3 / finals, 2),
         "jets": jets,
         "quantil": round(quantil, 3),
@@ -222,13 +226,21 @@ def main():
     ap.add_argument("--jets", type=int, default=10)
     ap.add_argument("--finals", type=int, default=2)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--threads", type=int, default=1,
+                    help="stage-3 final-pair batch + prefetch threads")
     ap.add_argument("--out", default="/tmp/bench_pipeline")
+    ap.add_argument("--save", default="",
+                    help="also write the JSON to this path (bench.py picks "
+                         "up tools/bench_pipeline_measured.json)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     out = run_pipeline(Path(args.out), args.jets, args.finals,
-                       batch=args.batch)
+                       batch=args.batch, threads=args.threads)
     print(json.dumps(out))
+    if args.save:
+        with open(args.save, "w") as fh:
+            json.dump(out, fh)
 
 
 if __name__ == "__main__":
