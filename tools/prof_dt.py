@@ -57,7 +57,48 @@ def run_once(h=270, w=480, jets=10, verbose=True):
     return wall, info["timing"], err
 
 
+def ab_batched(h=270, w=480, jets=10, finals=4):
+    """Serial vs batched stage-3 A/B at production shape (round-4 decision:
+    the CPU A/B was 0.83x; on the latency-bound TPU the F axis should pay)."""
+    from slowflow_tpu.tracking.driver import (
+        TrackingConfig, track_final_pair, track_final_pairs_batched)
+
+    cfg = TrackingConfig(jets=jets, rates=1, skip_pixel=1, capacity=16,
+                         alternate=5, hyp_neigh_tryouts=20,
+                         epic_interpolation=False, seed=1)
+    jobs = []
+    for s in range(finals):
+        data, ddx, ddy, fwd, bwd, sw = build_inputs(h, w, jets, seed=s)
+        jobs.append(dict(rate_flows=[(fwd, bwd, None)], forward=fwd,
+                         backward=bwd, occlusions=None, data=data,
+                         data_dx=ddx, data_dy=ddy, smooth_weight=sw,
+                         epic_ctx=None))
+
+    def serial():
+        for j in jobs:
+            track_final_pair(cfg, j["rate_flows"], j["forward"],
+                             j["backward"], None, j["data"], j["data_dx"],
+                             j["data_dy"], j["smooth_weight"])
+
+    serial()                                     # compile both paths
+    track_final_pairs_batched(cfg, jobs)
+    t0 = time.time()
+    serial()
+    t_serial = time.time() - t0
+    t0 = time.time()
+    track_final_pairs_batched(cfg, jobs)
+    t_batched = time.time() - t0
+    print(f"stage3 A/B finals={finals}: serial {t_serial:.2f}s "
+          f"({t_serial / finals:.2f}/final)  batched {t_batched:.2f}s "
+          f"({t_batched / finals:.2f}/final)  "
+          f"speedup {t_serial / t_batched:.2f}x")
+    return t_serial, t_batched
+
+
 if __name__ == "__main__":
+    if "--ab" in sys.argv:
+        ab_batched()
+        sys.exit(0)
     wall, timing, err = run_once()
     print("warmup wall:", round(wall, 2), "s")
     wall2, timing2, err = run_once(verbose=False)
