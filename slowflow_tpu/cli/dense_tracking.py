@@ -288,6 +288,14 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
     batch_n = min(n_threads, 8)     # finals per batched dispatch chain
 
     def flush(jobs):
+        # a batch must agree on jet-occlusion availability; split when a
+        # final's occlusion maps are missing (prepare leaves occ = None)
+        with_occ = [j for j in jobs if j["occlusions"] is not None]
+        without = [j for j in jobs if j["occlusions"] is None]
+        if with_occ and without:
+            flush(with_occ)
+            flush(without)
+            return
         t0 = time.time()
         flows, occs, info = track_final_pairs_batched(
             cfg, jobs, weight_jet, verbose=verbose,
