@@ -259,7 +259,8 @@ def _stale_record():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="jet batch; 0 = champion config if recorded, else 4")
     ap.add_argument("--no-dt", action="store_true",
                     help="skip the dense-tracking stage metric")
     ap.add_argument("--no-pipeline", action="store_true",
@@ -293,7 +294,27 @@ def main():
                              niter_alter=10, niter_outer=10, niter_inner=1,
                              niter_solver=30, occlusion_reasoning=True,
                              smoothing=1)
-        h, w, batch = args.height, args.width, args.batch
+        h, w, batch = args.height, args.width, args.batch or 4
+
+    # measured-champion solve configuration from tools/prof_merged.py
+    # --sweep (batch + kernel route); explicit --batch overrides the batch
+    champion = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not args.small:
+        for cf in ("/tmp/solve_champion.json",
+                   os.path.join(here, "tools", "solve_champion_measured.json")):
+            if os.path.exists(cf):
+                with open(cf) as fh:
+                    champion = json.load(fh)
+                break
+    if champion:
+        from dataclasses import replace
+
+        p = replace(p, merge_warp=champion["merge_warp"],
+                    jet_vmap=(champion["mode"] == "vmap"),
+                    unroll_jets=(champion["mode"] == "unroll"))
+        if not args.batch:
+            batch = champion["batch"]
 
     jps, wall, flow_err = tpu_jets_per_sec(batch, h, w, p)
     # Baseline convention (explicit): the denominator is the MEASURED
@@ -336,6 +357,8 @@ def main():
         "batch": batch, "height": h, "width": w,
         "wall_s_per_batch": round(wall, 3),
     }
+    if champion:
+        out["solve_config"] = champion
     if not (args.no_dt or args.small):
         dt_wall, dt_err = dt_final_pair_seconds()
         out["dt_seconds_per_final_pair"] = round(dt_wall, 2)
