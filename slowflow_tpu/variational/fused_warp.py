@@ -112,7 +112,8 @@ def _merged_kernel(win_ref, refs_ref, wxe_ref, wye_ref, offx_ref, offy_ref,
                    w_img: int, h_img: int, n_r: int, win_h_a: int):
     from jax.experimental import pallas as pl
 
-    grow0 = (pl.program_id(0) % n_r) * r - EXT
+    pid = pl.program_id(0)
+    grow0 = (pid % n_r) * r - EXT
     wxe = wxe_ref[0]
     wye = wye_ref[0]
     ref = p.ref
@@ -123,8 +124,10 @@ def _merged_kernel(win_ref, refs_ref, wxe_ref, wye_ref, offx_ref, offy_ref,
             wext.append(refs_ref[0])
             continue
         kx, ky = ks_nz[i_nz]
+        # the anchor arrays ride whole in SMEM (Mosaic rejects sub-row
+        # blocks of small scalar arrays); index by program id instead
         acc = _warp_window(win_ref[0, i_nz], wxe, wye,
-                           offx_ref[0, i_nz], offy_ref[0, i_nz],
+                           offx_ref[pid, i_nz], offy_ref[pid, i_nz],
                            facs_nz[i_nz], kx=kx, ky=ky, wp=wp,
                            w_img=w_img, h_img=h_img, grow0=grow0,
                            win_h_a=win_h_a)
@@ -261,7 +264,7 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
     seq_nz = jnp.stack([seq[:, k] for k in nz], 1)   # static slices
     pspec = pl.BlockSpec((1, r, wp), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, fnz), lambda s: (s, 0),
+    sspec = pl.BlockSpec((nb, fnz), lambda s: (0, 0),
                          memory_space=pltpu.SMEM)
 
     def make_branch(kin, kout):

@@ -56,7 +56,10 @@ def test_warp_identity(rng):
     src = rng.random((3, 6, 8)).astype(np.float32)
     z = jnp.zeros((6, 8), jnp.float32)
     out, mask = warp_bilinear(jnp.asarray(src), z, z)
-    np.testing.assert_allclose(np.asarray(out), src, atol=1e-6)
+    # the one-hot contractions run at Precision.HIGH (bf16x3); newer XLA
+    # CPU emulates that instead of promoting to f32, so the identity bound
+    # is the HIGH-path contract (~1e-5 on unit-range images), not exactness
+    np.testing.assert_allclose(np.asarray(out), src, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(mask), 1.0)
 
 
@@ -65,7 +68,8 @@ def test_warp_integer_shift(rng):
     wx = jnp.full((5, 7), 1.0)
     wy = jnp.zeros((5, 7))
     out, mask = warp_bilinear(jnp.asarray(src), wx, wy)
-    np.testing.assert_allclose(np.asarray(out)[0, :, :-1], src[0, :, 1:], atol=1e-6)
+    # HIGH-precision (bf16x3) one-hot contraction bound, see test_warp_identity
+    np.testing.assert_allclose(np.asarray(out)[0, :, :-1], src[0, :, 1:], atol=5e-5)
     m = np.asarray(mask)
     assert m[:, :-1].all() and (m[:, -1] == 0).all()
 
