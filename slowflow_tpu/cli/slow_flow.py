@@ -222,10 +222,15 @@ def run(cfg_path: str, overwrite=False, resume=False, deep_settings="",
     return 0
 
 
-def _preprocess_frames(frames8):
+def _preprocess_frames(frames8, chunk=48):
     """Lab + saliency + edge maps for every window frame in one batched
     dispatch each (replaces one rgb_to_lab/saliency/SED invocation per jet:
-    slow_flow.cpp:747-757 + epic.cpp:166-174)."""
+    slow_flow.cpp:747-757 + epic.cpp:166-174).
+
+    Frames are processed in fixed-size chunks (padded, so one compiled
+    program serves them all): at teaser scale the window is 455 frames and
+    a whole-stack dispatch peaks >20 GB of HLO temps in the edge-detector
+    convolutions — past a v5e chip's 16 GB HBM."""
     import jax
     import jax.numpy as jnp
 
@@ -238,8 +243,25 @@ def _preprocess_frames(frames8):
         edges = jax.vmap(detect_edges)(stack)
         return lab, sal, edges
 
-    lab, sal, edges = go(jnp.asarray(frames8, jnp.float32))
-    return np.asarray(lab), np.asarray(sal), np.asarray(edges)
+    arr = np.asarray(frames8, np.float32)
+    n = arr.shape[0]
+    if n <= chunk:
+        lab, sal, edges = go(jnp.asarray(arr))
+        return np.asarray(lab), np.asarray(sal), np.asarray(edges)
+
+    labs, sals, edgs = [], [], []
+    for s in range(0, n, chunk):
+        piece = arr[s:s + chunk]
+        keep = piece.shape[0]
+        if keep < chunk:
+            piece = np.concatenate(
+                [piece, np.repeat(piece[-1:], chunk - keep, axis=0)], 0)
+        lab, sal, edges = go(jnp.asarray(piece))
+        labs.append(np.asarray(lab)[:keep])
+        sals.append(np.asarray(sal)[:keep])
+        edgs.append(np.asarray(edges)[:keep])
+    return (np.concatenate(labs, 0), np.concatenate(sals, 0),
+            np.concatenate(edgs, 0))
 
 
 def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,

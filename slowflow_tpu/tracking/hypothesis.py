@@ -236,10 +236,52 @@ def add_jc(px, py, flows, occl, forward, pen: Penalty, p: EnergyParams):
     return p.acc_jc * jenergy + p.acc_cv * cv
 
 
+# Scan add_bcgc over hypothesis groups once the pre-gathered patch tensor
+# would exceed this many bytes: the vectorized body materializes
+# [J+1, 9, G, ps, ps, bh, bw] patches (plus XLA remat copies), which at
+# production shapes (270x480 grid, J=10, G=16) is ~7 GB per final pair —
+# fine for one serial final, fatal for the F-batched stage-3 path on a
+# 16 GB chip. The G axis is embarrassingly independent, so a lax.map over
+# groups trades one dispatch's breadth for a G-fold smaller working set.
+BCGC_SCAN_BYTES = 384 * 1024 * 1024
+
+
 def add_bcgc(px, py, flows, occl, data, data_dx, data_dy, p: EnergyParams,
              occ_masks=None):
     """Pairwise all-frames brightness/gradient constancy (addBCGC,
-    dense_tracking.cpp:240-349) — the hot energy term.
+    dense_tracking.cpp:240-349) — the hot energy term. Dispatches to the
+    fully vectorized body, or to a group-at-a-time lax.map when the patch
+    working set would be too large (see BCGC_SCAN_BYTES)."""
+    from jax import lax
+
+    Jp1 = data.shape[0]
+    lead = jnp.broadcast_shapes(px.shape[:2], flows.shape[:2])
+    bh, bw = lead
+    G = flows.shape[2]
+    r = int(0.5 * (p.skip_pixel + 1))
+    ps = 2 * r + 2
+    est = Jp1 * 9 * G * ps * ps * bh * bw * 4
+    if G == 1 or est <= BCGC_SCAN_BYTES:
+        return _add_bcgc_groups(px, py, flows, occl, data, data_dx, data_dy,
+                                p, occ_masks)
+
+    fG = jnp.moveaxis(jnp.broadcast_to(flows, (bh, bw) + flows.shape[2:]),
+                      2, 0)                     # [G, bh, bw, J, 2]
+    oG = jnp.moveaxis(jnp.broadcast_to(occl, (bh, bw) + occl.shape[2:]),
+                      2, 0)                     # [G, bh, bw, J+1]
+
+    def one(args):
+        f1, o1 = args
+        return _add_bcgc_groups(px, py, f1[:, :, None], o1[:, :, None],
+                                data, data_dx, data_dy, p, occ_masks)[..., 0]
+
+    e = lax.map(one, (fG, oG))                  # [G, bh, bw]
+    return jnp.moveaxis(e, 0, -1)
+
+
+def _add_bcgc_groups(px, py, flows, occl, data, data_dx, data_dy,
+                     p: EnergyParams, occ_masks=None):
+    """Vectorized addBCGC body (all hypothesis groups in one dispatch).
 
     For each pixel in a (2r+1)^2 window around p, sample image + gradients at
     the trajectory positions in all J+1 frames and sum |I_i - I_j| over all

@@ -95,3 +95,32 @@ def test_add_bcgc_matches_oracle():
                            data, ddx, ddy, 0.1, 1.0, 1, masks)
             assert abs(got[py_, px_, g] - want) < 5e-4, \
                 (py_, px_, g, got[py_, px_, g], want, masks is None)
+
+def test_add_bcgc_group_scan_matches_vectorized(monkeypatch):
+    """The memory-bounded lax.map-over-groups path (taken when the patch
+    working set exceeds BCGC_SCAN_BYTES) is numerically equivalent to the
+    all-groups dispatch."""
+    import jax.numpy as jnp
+
+    from slowflow_tpu.tracking import hypothesis as hyp
+
+    rng = np.random.default_rng(11)
+    h, w, J, G = 9, 13, 3, 4
+    data = rng.random((J + 1, h, w, 3)).astype(np.float32)
+    ddx = rng.random((J + 1, h, w, 3)).astype(np.float32)
+    ddy = rng.random((J + 1, h, w, 3)).astype(np.float32)
+    occ_masks = (rng.random((J, h, w)) > 0.2).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    flows = (rng.standard_normal((h, w, G, J, 2)) * 2).astype(np.float32)
+    occl = (rng.random((h, w, G, J + 1)) < 0.25).astype(np.int32)
+    p = hyp.EnergyParams(acc_bc=0.1, acc_gc=1.0, skip_pixel=1)
+
+    args = (jnp.asarray(xx)[..., None], jnp.asarray(yy)[..., None],
+            jnp.asarray(flows), jnp.asarray(occl), jnp.asarray(data),
+            jnp.asarray(ddx), jnp.asarray(ddy), p)
+    for masks in (None, jnp.asarray(occ_masks)):
+        want = np.asarray(hyp._add_bcgc_groups(*args, masks))
+        monkeypatch.setattr(hyp, "BCGC_SCAN_BYTES", 0)
+        got = np.asarray(hyp.add_bcgc(*args, masks))
+        monkeypatch.undo()
+        np.testing.assert_allclose(got, want, atol=1e-5)
