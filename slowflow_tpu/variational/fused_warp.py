@@ -1,20 +1,37 @@
-"""Merged warp + IRLS-assembly Pallas kernel (one dispatch per strip grid).
+"""Merged warp + IRLS-assembly Pallas kernel, resident-source edition.
 
 Per outer iteration the solve previously ran TWO Pallas dispatches with a
 full HBM round-trip between them: the small-motion shift warp
 (core/warp_shift.py) wrote the warped frame stack [2*ref+1, 3, H, W] to
 HBM, and the fused assembly kernel (variational/fused_data.py) re-read it
-through its own halo-extended strip windows (a second ~1.3x-inflated
-copy). On the profiled chip both kernels sit far under the VPU and HBM
-ceilings (docs/PROFILING.md roofline: 15% / 7%) — the cost is dispatch +
-staging latency, so fusing them attacks exactly the bound that matters.
+through its own halo-extended strip windows. Both also paid a large
+host-staging tax: per-(frame, strip) anchor windows were materialized by a
+sequential `lax.map` of dynamic slices before the kernel even launched —
+measured at a third of the warp phase's wall time, every outer iteration,
+for source pixels that never change during the solve.
 
-This module fuses the two: each strip program warps its own halo-EXT
-window of every window frame in VMEM — the bilinear shift grid of
-core/warp_shift.py with the corner indices computed in-kernel from the
-flow strip (2 input planes instead of 6 precomputed index planes per
-frame) — and feeds the assembly math (fused_data.assemble_from_windows)
-directly. No warped plane ever reaches HBM and one dispatch replaces two.
+This edition removes the window staging. Anchoring happens ONCE per
+(jet, frame) instead of per (jet, frame, strip): the global integer
+displacement minimum of each frame shifts its whole edge-padded plane by a
+single vectorized dynamic_slice in XLA (a handful of MB, no sequential
+map), and the anchor rides into the kernel as an SMEM scalar. The shifted
+stack is then an input block that stays VMEM-resident across the strip
+grid (its BlockSpec index only changes per jet); each strip program slices
+its source windows in-kernel with `pl.ds` at STATIC offsets and 8-aligned
+row starts (`program_id * R_STRIP` plus a static multiple of 8; the sub-8
+residue is absorbed as a static shift of the y-ladder slices, which costs
+nothing). The shift-grid warp (core/warp_shift.py's bilinear ladder,
+corner indices computed in-kernel from the flow strip) then feeds assembly
+(fused_data.assemble_from_windows) directly: one dispatch per data-term
+evaluation, no warped plane in HBM, no per-strip window staging in XLA.
+
+Variant ladder. One (Kx+1)x(Ky+1) shift grid per |frame offset| group.
+A variant is exact iff each frame's GLOBAL displacement SPAN (max - min,
+bias removed by the anchor) fits its grid — Slow Flow's adaptive frame
+rate keeps jets at ~2 px/frame (adaptiveFR quantile targeting,
+slow_flow.cpp:322-351), so the cheap rungs fit almost always. A runtime
+lax.switch picks the cheapest exact entry, else falls back to the banded
+one-hot warp + the separate assembly kernel (always valid, any motion).
 
 Exactness. The composition equals image_warp
 (variational_aux_mt.cpp:722-756) -> get_derivatives
@@ -24,13 +41,6 @@ Exactness. The composition equals image_warp
 standalone shift kernel), and the conv halos outside the image are rebuilt
 by the same edge replication the two-kernel path gets from jnp.pad — the
 _xrepl/_yrepl selects applied to the in-kernel warped plane.
-
-Variant ladder. One static (Kx+1)x(Ky+1) shift grid per |frame offset|
-group: inner (+-1) frames see half the displacement of outer (+-2+) ones,
-so ladder entries pair a cheap inner grid with a wider outer one. A
-runtime lax.switch picks the cheapest entry whose measured per-strip
-displacement ranges fit, else falls back to the banded one-hot warp + the
-separate assembly kernel (always valid, any motion).
 """
 from __future__ import annotations
 
@@ -42,26 +52,33 @@ import jax.numpy as jnp
 from .fused_data import (EXT, R_STRIP, _round_up, _xrepl, _yrepl,
                          assemble_from_windows, fused_data_system_batched)
 
-PADT = 20        # source-window anchor headroom (rows)
-PADL = 20        # (cols); anchors beyond +-(PAD-EXT) take the fallback
+YT = 16          # static top margin of the shifted source (rows)
+XL = 16          # static left margin of the shifted source (cols)
+SLACK = 16       # max |global anchor|; beyond it take the banded fallback
 
 # ladder of ((kx_in, ky_in), (kx_out, ky_out)): shift-grid sizes for the
 # |factor| == 1 frame group and for the outer (|factor| >= 2) group,
-# cheapest first (term count = prod(K+1))
-DEFAULT_LADDER = (((4, 4), (8, 4)),
-                  ((4, 4), (12, 6)),
-                  ((8, 6), (12, 12)))
+# cheapest first (term count = prod(K+1)). Spans are global per frame (the
+# anchor removes bias), so rungs run wider than the per-strip ladder did;
+# the kernel cost is dominated by the (K+1)^2 term math, so the cheap
+# rungs earn their compile time (adaptiveFR pins jets at ~2 px/frame).
+DEFAULT_LADDER = (((2, 2), (4, 4)),
+                  ((4, 4), (8, 4)),
+                  ((6, 4), (10, 8)),
+                  ((10, 8), (14, 14)))
 
 
 def _warp_window(win, wxe, wye, offx, offy, fac, *, kx: int, ky: int,
                  wp: int, w_img: int, h_img: int, grow0, win_h_a: int):
     """Warp one frame onto the halo-EXT strip plane, in VMEM.
 
-    win: [3, win_h_src, Wp] anchored source window (edge-padded source);
-    wxe/wye: [win_h_a, Wp] edge-replicated flow strips; offx/offy: scalar
-    int32 window anchors; fac: static frame factor. Returns
-    [3, win_h_a, Wp]; values at plane rows/cols outside the image are
-    garbage (weights select nothing) — the caller replaces them with
+    win: [3, win_h_a + ky, wp] source window whose row 0 / col 0 sit at
+    image coords (grow0 + offy, offx - EXT) — the caller pre-shifted the
+    source by the (offy, offx) anchor, so the window slice itself is
+    static; wxe/wye: [win_h_a, wp] edge-replicated flow strips;
+    offx/offy: the anchors as SMEM scalars; fac: static frame factor.
+    Returns [3, win_h_a, wp]; values at plane rows/cols outside the image
+    are garbage (weights select nothing) — the caller replaces them with
     _xrepl/_yrepl edge replication."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -81,9 +98,9 @@ def _warp_window(win, wxe, wye, offx, offy, fac, *, kx: int, ky: int,
     x1 = jnp.clip(x0i + 1, 0, w_img - 1)
     y0 = jnp.clip(y0i, 0, h_img - 1)
     y1 = jnp.clip(y0i + 1, 0, h_img - 1)
-    # local corner indices relative to the window anchor; in [0, K] on the
-    # image (guaranteed by the caller's range check), out of range on the
-    # halo (whose output is replaced anyway)
+    # local corner indices relative to the frame's global anchor; in [0, K]
+    # on the image (guaranteed by the caller's span check), out of range on
+    # the halo (whose output is replaced anyway)
     lkx0 = x0 - cols_raw - offx
     lkx1 = x1 - cols_raw - offx
     lky0 = y0 - rows_raw - offy
@@ -106,30 +123,50 @@ def _warp_window(win, wxe, wye, offx, offy, fac, *, kx: int, ky: int,
     return acc
 
 
-def _merged_kernel(win_ref, refs_ref, wxe_ref, wye_ref, offx_ref, offy_ref,
-                   mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
-                   p, mode: str, ks_nz, facs_nz, r: int, wp: int,
-                   w_img: int, h_img: int, n_r: int, win_h_a: int):
+def _merged_kernel(offx_ref, offy_ref, src_ref, wxp_ref, wyp_ref, mask_ref,
+                   du_ref, dv_ref, cw_ref, *out_refs, p, mode: str, ks_nz,
+                   facs_nz, r: int, wp: int, w_img: int, h_img: int,
+                   n_r: int, win_h_a: int):
+    """One strip program: slice source + flow windows out of the resident
+    anchored blocks, warp every window frame in VMEM, assemble."""
     from jax.experimental import pallas as pl
 
     pid = pl.program_id(0)
-    grow0 = (pid % n_r) * r - EXT
-    wxe = wxe_ref[0]
-    wye = wye_ref[0]
+    jet = pid // n_r
+    sloc = pid % n_r
+    grow0 = sloc * r - EXT
+    row_a = pl.multiple_of(sloc * r, 8)
     ref = p.ref
+
+    # flow strips: padded flow rows = image rows + EXT, cols + EXT, so the
+    # halo-EXT window of strip sloc starts at padded row sloc * r (aligned)
+    wxe = wxp_ref[0, pl.ds(row_a, win_h_a), :]
+    wye = wyp_ref[0, pl.ds(row_a, win_h_a), :]
+
+    # shifted-source rows = image rows - anchor + YT, so every frame's
+    # window starts at padded row sloc*r + (YT - EXT): 8-aligned by loading
+    # from the rounded-down start and slicing the residue statically (free)
+    e = YT - EXT
+    c8 = (e // 8) * 8
+    d = e - c8
+
+    def window(fi: int, rows: int):
+        n_rows = _round_up(d + rows, 8)
+        win = src_ref[0, fi, :, pl.ds(pl.multiple_of(row_a + c8, 8), n_rows),
+                      XL - EXT:XL - EXT + wp]
+        return win[:, d:d + rows]
+
     wext = []
     i_nz = 0
     for k in range(2 * ref + 1):
         if k == ref:
-            wext.append(refs_ref[0])
+            wext.append(window(k, win_h_a))
             continue
         kx, ky = ks_nz[i_nz]
-        # the anchor arrays ride whole in SMEM (Mosaic rejects sub-row
-        # blocks of small scalar arrays); index by program id instead
-        acc = _warp_window(win_ref[0, i_nz], wxe, wye,
-                           offx_ref[pid, i_nz], offy_ref[pid, i_nz],
-                           facs_nz[i_nz], kx=kx, ky=ky, wp=wp,
-                           w_img=w_img, h_img=h_img, grow0=grow0,
+        win = window(k, win_h_a + ky)
+        acc = _warp_window(win, wxe, wye, offx_ref[jet, i_nz],
+                           offy_ref[jet, i_nz], facs_nz[i_nz], kx=kx, ky=ky,
+                           wp=wp, w_img=w_img, h_img=h_img, grow0=grow0,
                            win_h_a=win_h_a)
         wext.append(_xrepl(_yrepl(acc, grow0, h_img), w_img))
         i_nz += 1
@@ -183,68 +220,69 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
     hp = n_r * r
     win_h_a = r + 2 * EXT
     kx_all = max(kk[g][0] for kk in ladder for g in range(2))
+    ky_all = max(kk[g][1] for kk in ladder for g in range(2))
     # the in-kernel roll wraps kx junk columns to the far right; keep them
     # beyond the last plane column the convs read (w + EXT + 1)
     wp = _round_up(w + 2 * EXT + kx_all + 2, 128)
     nb = b * n_r
 
-    # ---- per-(jet, frame, strip) anchors and ranges (exactly the corner
-    # indices the kernel recomputes) ----
+    # ---- per-(jet, frame) global anchors and spans: exactly the CLIPPED
+    # corner indices the kernel recomputes, with the same f32 op sequence
+    # (floor(jj + fac*flow): the addition's rounding can cross an integer
+    # boundary that floor(fac*flow) alone would not predict; border clamps
+    # can pull a corner BELOW a positive anchor or above a negative one,
+    # so the clip must be part of the range) ----
     fac_arr = jnp.asarray(facs, jnp.float32)[None, :, None, None]
-    xq = (jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
-          + fac_arr * wx[:, None])
-    yq = (jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
-          + fac_arr * wy[:, None])
-    x0i = jnp.floor(xq).astype(jnp.int32)
-    y0i = jnp.floor(yq).astype(jnp.int32)
-    jj = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
-    ii = jnp.arange(h, dtype=jnp.int32)[None, None, :, None]
+    jj = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    ii = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    x0i = jnp.floor(jj + fac_arr * wx[:, None])            # [B, F, H, W]
+    y0i = jnp.floor(ii + fac_arr * wy[:, None])
     dispx0 = jnp.clip(x0i, 0, w - 1) - jj
     dispx1 = jnp.clip(x0i + 1, 0, w - 1) - jj
     dispy0 = jnp.clip(y0i, 0, h - 1) - ii
     dispy1 = jnp.clip(y0i + 1, 0, h - 1) - ii
-
-    def strip_red(rowred, fn):
-        """rowred: [B, F, H] per-row reduction; reduce over each strip's
-        halo-EXT row window (edge pad replicates the kernel's clamping)."""
-        ap = jnp.pad(rowred, ((0, 0), (0, 0), (EXT, hp - h + EXT)),
-                     mode="edge")
-        wins = jnp.stack([ap[:, :, s * r:s * r + win_h_a]
-                          for s in range(n_r)], 2)     # [B, F, n_r, win]
-        return fn(wins, axis=3)                        # [B, F, n_r]
-
-    off_x = strip_red(dispx0.min(3), jnp.min)
-    off_y = strip_red(dispy0.min(3), jnp.min)
-    rng_x = strip_red(dispx1.max(3), jnp.max) - off_x
-    rng_y = strip_red(dispy1.max(3), jnp.max) - off_y
-    anchors_ok = ((jnp.abs(off_x) <= PADL - EXT).all()
-                  & (jnp.abs(off_y) <= PADT - EXT).all())
+    off_x = dispx0.min((2, 3)).astype(jnp.int32)           # [B, F]
+    off_y = dispy0.min((2, 3)).astype(jnp.int32)
+    span_x = (dispx1.max((2, 3)).astype(jnp.int32) - off_x).max(0)  # [F]
+    span_y = (dispy1.max((2, 3)).astype(jnp.int32) - off_y).max(0)
+    anchors_ok = ((jnp.abs(off_x) <= SLACK).all()
+                  & (jnp.abs(off_y) <= SLACK).all())
 
     fits = []
     for kin, kout in ladder:
         fit = anchors_ok
         for i, g in enumerate(groups):
             kx_i, ky_i = (kin, kout)[g]
-            fit = fit & (rng_x[:, i].max() <= kx_i) \
-                      & (rng_y[:, i].max() <= ky_i)
+            fit = fit & (span_x[i] <= kx_i) & (span_y[i] <= ky_i)
         fits.append(fit)
     sel = jnp.int32(len(ladder))
     for i in reversed(range(len(ladder))):
         sel = jnp.where(fits[i], jnp.int32(i), sel)
 
-    # ---- variant-independent strip tensors ----
-    def pad_planes(a):
-        """[B, ..., H, W] -> halo-EXT strip windows [nb, ..., win_h_a, wp]."""
-        pads = [(0, 0)] * (a.ndim - 2) + [(EXT, hp - h + EXT),
-                                          (EXT, wp - w - EXT)]
-        ap = jnp.pad(a, pads, mode="edge")
-        wins = jnp.stack([ap[..., s * r:s * r + win_h_a, :]
-                          for s in range(n_r)], 1)
-        return wins.reshape((nb,) + wins.shape[2:])
+    # ---- anchored resident source: pad once (loop-invariant, hoisted out
+    # of the solve's while_loop), then shift each (jet, frame) plane by its
+    # anchor with ONE vectorized dynamic_slice ----
+    hps = _round_up(YT + hp + win_h_a + ky_all + 8, 8)
+    wpf = _round_up(XL + wp, 128)
+    pt, plc = SLACK + YT, SLACK + XL
+    src_big = jnp.pad(seq, ((0, 0), (0, 0), (0, 0),
+                            (pt, hps + SLACK - h - YT),
+                            (plc, wpf + SLACK - w - XL)), mode="edge")
+    zero = jnp.zeros((b, 1), jnp.int32)
+    offs_all = jnp.stack([  # ref frame shifts by 0
+        jnp.concatenate([off_y[:, :ref], zero, off_y[:, ref:]], 1),
+        jnp.concatenate([off_x[:, :ref], zero, off_x[:, ref:]], 1)], -1)
 
-    wxe = pad_planes(wx)
-    wye = pad_planes(wy)
-    refs = pad_planes(seq[:, ref])                     # [nb, 3, win, wp]
+    def shift_one(frame, off):
+        return jax.lax.dynamic_slice(
+            frame, (0, pt + off[0] - YT, plc + off[1] - XL), (c, hps, wpf))
+
+    src = jax.vmap(jax.vmap(shift_one))(src_big, offs_all)
+
+    hpf = _round_up(EXT + hp + win_h_a, 8)
+    flow_pads = ((0, 0), (EXT, hpf - h - EXT), (EXT, wp - w - EXT))
+    wxp = jnp.pad(wx, flow_pads, mode="edge")
+    wyp = jnp.pad(wy, flow_pads, mode="edge")
 
     def padp(a):
         pads = [(0, 0)] * (a.ndim - 2) + [(0, hp - h), (0, wp - w)]
@@ -257,61 +295,29 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
     cw_p = padp(cw).reshape(b, c, n_r, r, wp) \
         .transpose(0, 2, 1, 3, 4).reshape(nb, c, r, wp)
 
-    offx_arr = off_x.transpose(0, 2, 1).reshape(nb, fnz)
-    offy_arr = off_y.transpose(0, 2, 1).reshape(nb, fnz)
-
     n_out = 5 if mode == "assembly" else 2
-    seq_nz = jnp.stack([seq[:, k] for k in nz], 1)   # static slices
     pspec = pl.BlockSpec((1, r, wp), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((nb, fnz), lambda s: (0, 0),
+    jspec = pl.BlockSpec((1, hpf, wp), lambda s, n_r=n_r: (s // n_r, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((b, fnz), lambda s: (0, 0),
                          memory_space=pltpu.SMEM)
 
     def make_branch(kin, kout):
         ks_nz = [kin if g == 0 else kout for g in groups]
-        ky_max = max(k[1] for k in ks_nz)
-        win_h_src = _round_up(win_h_a + ky_max, 8)
 
         def branch(_):
-            hpad_bot = PADT + (hp - h) + win_h_src
-            src = jnp.pad(seq_nz, ((0, 0), (0, 0), (0, 0),
-                                   (PADT, hpad_bot),
-                                   (PADL, wp - w + PADL)), mode="edge")
-            srow = (PADT - EXT
-                    + (jnp.arange(n_r, dtype=jnp.int32) * r)[None, :, None]
-                    + off_y.transpose(0, 2, 1))        # [B, n_r, F]
-            scol = PADL - EXT + off_x.transpose(0, 2, 1)
-            starts = jnp.stack([srow, scol], -1).reshape(nb * fnz, 2)
-            items = jnp.arange(nb * fnz, dtype=jnp.int32)
-            bidx = items // (n_r * fnz)
-            fidx = items % fnz
-
-            def slice_win(args):
-                st, bi, fi = args
-                return jax.lax.dynamic_slice(
-                    src, (bi, fi, 0, st[0], st[1]),
-                    (1, 1, 3, win_h_src, wp))[0, 0]
-
-            wins = jax.lax.map(slice_win, (starts, bidx, fidx))
-            wins = wins.reshape(nb, fnz, 3, win_h_src, wp)
-
             outs = pl.pallas_call(
                 partial(_merged_kernel, p=p, mode=mode, ks_nz=ks_nz,
                         facs_nz=facs, r=r, wp=wp, w_img=w, h_img=h,
                         n_r=n_r, win_h_a=win_h_a),
                 grid=(nb,),
                 in_specs=[
-                    pl.BlockSpec((1, fnz, 3, win_h_src, wp),
-                                 lambda s: (s, 0, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 3, win_h_a, wp),
-                                 lambda s: (s, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, win_h_a, wp), lambda s: (s, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, win_h_a, wp), lambda s: (s, 0, 0),
-                                 memory_space=pltpu.VMEM),
                     sspec, sspec,
+                    pl.BlockSpec((1, f, c, hps, wpf),
+                                 lambda s, n_r=n_r: (s // n_r, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    jspec, jspec,
                     pl.BlockSpec((1, n, r, wp), lambda s: (s, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pspec, pspec,
@@ -321,9 +327,13 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
                 out_specs=(pspec,) * n_out,
                 out_shape=(jax.ShapeDtypeStruct((nb, r, wp),
                                                 jnp.float32),) * n_out,
+                # the wide rungs keep kx+1 rolled window copies live; the
+                # default 16 MB scoped-vmem stack is far below the chip's
+                # 128 MB VMEM
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
                 interpret=interpret,
-            )(wins, refs, wxe, wye, offx_arr, offy_arr,
-              mask_p, du_p, dv_p, cw_p)
+            )(off_x, off_y, src, wxp, wyp, mask_p, du_p, dv_p, cw_p)
             return tuple(o.reshape(b, hp, wp)[:, :h, :w] for o in outs)
 
         return branch
