@@ -312,7 +312,9 @@ def main():
 
         p = replace(p, merge_warp=champion["merge_warp"],
                     jet_vmap=(champion["mode"] == "vmap"),
-                    unroll_jets=(champion["mode"] == "unroll"))
+                    unroll_jets=(champion["mode"] == "unroll"),
+                    **({"pallas_sor": champion["pallas_sor"]}
+                       if "pallas_sor" in champion else {}))
         if not args.batch:
             batch = champion["batch"]
 

@@ -149,9 +149,25 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
         else:
             a_r, b_r = ref_img, w_b
 
+        # compile-time zero-weight elision: the per-offset weights are
+        # STATIC Python floats, and a zero weight makes the whole term —
+        # including its derivative stack — exact dead work that XLA will
+        # not fold away (x * 0.0 is not strength-reduced for floats). The
+        # production config omega=(0.0, 2.0) (cfgs/slow_flow.cfg) zeroes
+        # the to-ref term on half the offsets; one_direction zeroes the
+        # successive term on the past half (variational_mt.cpp:495-519
+        # scales terms by these same per-frame weights).
+        rs = p.rho[max(ref - s - 1, s - ref)]
+        os_ = p.omega[max(ref - s - 1, s - ref)]
+        succ_on = (rho_w[s] if mode == "assembly" else rs) != 0.0
+        ref_on = (omega_w[s] if mode == "assembly" else os_) != 0.0
+
         # successive + to-reference derivative planes for this offset
         stacks = []
-        for (pa, pb) in ((w_a, w_b), (a_r, b_r)):
+        for (pa, pb), on in (((w_a, w_b), succ_on), ((a_r, b_r), ref_on)):
+            if not on:
+                stacks.append(None)
+                continue
             tmp = 0.5 * (pa + pb)
             izf = pa - pb
             if mode == "occ":
@@ -167,16 +183,22 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
                            _c5x(izf), _c5y(izf)))
 
         if mode == "occ":
-            (iz_s, ixz_s, iyz_s), (iz_r, ixz_r, iyz_r) = [
-                tuple(crop(t) for t in st) for st in stacks]
-            rho_s = p.rho[max(ref - s - 1, s - ref)]
-            om_s = p.omega[max(ref - s - 1, s - ref)]
-            term = (rho_s * hd * mask * color_pen.apply((iz_s ** 2).sum(0))
-                    + rho_s * hg * mask
-                    * grad_pen.apply((ixz_s ** 2 + iyz_s ** 2).sum(0))
-                    + om_s * hd * mask * color_pen.apply((iz_r ** 2).sum(0))
-                    + om_s * hg * mask
-                    * grad_pen.apply((ixz_r ** 2 + iyz_r ** 2).sum(0)))
+            rho_s, om_s = rs, os_
+            term = jnp.zeros((r, wp), jnp.float32)
+            if succ_on:
+                iz_s, ixz_s, iyz_s = (crop(t) for t in stacks[0])
+                term = (term
+                        + rho_s * hd * mask
+                        * color_pen.apply((iz_s ** 2).sum(0))
+                        + rho_s * hg * mask
+                        * grad_pen.apply((ixz_s ** 2 + iyz_s ** 2).sum(0)))
+            if ref_on:
+                iz_r, ixz_r, iyz_r = (crop(t) for t in stacks[1])
+                term = (term
+                        + om_s * hd * mask
+                        * color_pen.apply((iz_r ** 2).sum(0))
+                        + om_s * hg * mask
+                        * grad_pen.apply((ixz_r ** 2 + iyz_r ** 2).sum(0)))
             contrib = mask * (2.0 * rho_s + 2.0 * om_s)
             if s >= ref:     # future terms score label 0 (occluded in past)
                 e0 = e0 + term
@@ -186,13 +208,15 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
                 n1 = n1 + contrib
             continue
 
-        cropped = [tuple(crop(t) for t in st) for st in stacks]
-        (ix, iy, izf, ixx, ixy, iyy, ixz, iyz) = cropped[0]
+        cropped = [tuple(crop(t) for t in st) if st is not None else None
+                   for st in stacks]
+        if cropped[0] is not None:
+            (ix, iy, izf, ixx, ixy, iyy, ixz, iyz) = cropped[0]
         sref = cropped[1]
 
         a11, a12, a22, b1, b2 = acc
         # ---- successive data term (jacobian -Ix, -Iy) ----
-        if p.delta != 0.0:
+        if p.delta != 0.0 and succ_on:
             t = cw * (izf - ix * du - iy * dv)
             if p.dataterm_norm:
                 nn = ix * ix + iy * iy + DATANORM
@@ -208,7 +232,7 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
             a22 = a22 + (coef * iy * iy).sum(0)
             b1 = b1 + (coef * izf * ix).sum(0)
             b2 = b2 + (coef * izf * iy).sum(0)
-        if p.gamma != 0.0:
+        if p.gamma != 0.0 and succ_on:
             t1 = cw * (ixz - ixx * du - ixy * dv)
             t2 = cw * (iyz - ixy * du - iyy * dv)
             if p.dataterm_norm:
@@ -231,8 +255,9 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
         # ---- to-reference data term (jacobian scaled by signed factor) ----
         fac = fac_w[s]
         facsq = fac * fac
-        (ixr, iyr, izr, ixxr, ixyr, iyyr, ixzr, iyzr) = sref
-        if p.delta != 0.0:
+        if sref is not None:
+            (ixr, iyr, izr, ixxr, ixyr, iyyr, ixzr, iyzr) = sref
+        if p.delta != 0.0 and ref_on:
             t = cw * (izr + ixr * fac * du + iyr * fac * dv)
             if p.dataterm_norm:
                 nn = facsq * (ixr * ixr + iyr * iyr) + DATANORM
@@ -246,7 +271,7 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
             a11 = a11 + (coef * facsq * ixr * ixr).sum(0)
             a12 = a12 + (coef * facsq * ixr * iyr).sum(0)
             a22 = a22 + (coef * facsq * iyr * iyr).sum(0)
-        if p.gamma != 0.0:
+        if p.gamma != 0.0 and ref_on:
             t1 = cw * (ixzr + ixxr * fac * du + ixyr * fac * dv)
             t2 = cw * (iyzr + ixyr * fac * du + iyyr * fac * dv)
             if p.dataterm_norm:

@@ -69,7 +69,17 @@ class MultiFrameParams:
     robust_reg: tuple = (1, 0.001, 0.5)
     one_direction: bool = False             # slow_flow_method == "forward"
     hbit: bool = False                      # 16-bit input
-    pallas_sor: bool = False                # fused VMEM-resident SOR kernel
+    pallas_sor: bool | None = None          # fused VMEM-resident SOR kernel
+                                            # (Mosaic-only; cfg knob
+                                            # slow_flow_pallas_sor). None =
+                                            # off: composed-iteration
+                                            # microbenches say it should win
+                                            # ~0.2 ms/outer-iter, but the
+                                            # FULL solve measures flat (2.99
+                                            # vs 2.97 jets/s, bit-identical
+                                            # flow — tools/prof_psor.py), so
+                                            # the default stays the XLA path;
+                                            # see docs/PROFILING.md round 4
     pallas_warp: bool = False               # VMEM one-hot warp kernel
     warp_mode: str = "shift"                # "shift" (small-motion Pallas
                                             # kernel w/ banded fallback) or
@@ -80,18 +90,19 @@ class MultiFrameParams:
                                             # one Pallas kernel (no HBM
                                             # derivative planes); batches
                                             # natively under vmap
-    merge_warp: bool = False                # fold the warp itself into the
+    merge_warp: bool | None = None          # fold the warp itself into the
                                             # fused kernel (fused_warp.py):
                                             # one dispatch per outer
                                             # iteration, no warped stack in
                                             # HBM; requires fused_data and
                                             # warp_mode "shift". Equivalence
-                                            # is pinned (test_fused_warp.py)
-                                            # but the kernel has not yet been
-                                            # A/B'd on real Mosaic
-                                            # (tools/prof_merged.py) — flip
-                                            # the default once it wins on
-                                            # chip
+                                            # is pinned (test_fused_warp.py).
+                                            # None = auto: ON for TPU (the
+                                            # measured champion, 3.01 vs 2.85
+                                            # jets/s — tools/prof_merged.py
+                                            # r4 sweep), OFF on CPU (keeps
+                                            # the interpret-mode test routes
+                                            # unchanged)
     unroll_jets: bool = True                # unroll small jet batches (single
                                             # chip); MUST be False when the
                                             # batch axis is sharded over a
@@ -116,6 +127,26 @@ class MultiFrameParams:
     @property
     def ref(self) -> int:
         return self.S - 1
+
+    def merge_warp_on(self) -> bool:
+        """Resolve the tri-state merge_warp at trace time (auto = TPU only)."""
+        if self.merge_warp is not None:
+            return self.merge_warp
+        return jax.default_backend() != "cpu"
+
+    def pallas_sor_on(self, h: int, w: int) -> bool:
+        """Resolve the tri-state pallas_sor for an h x w level.
+
+        auto (None) resolves to OFF: the full-solve A/B measured no win over
+        the XLA red-black path (tools/prof_psor.py, round 4). Explicit True
+        is honored only where the kernel can run (TPU, level fits VMEM, not
+        under jet_vmap — vmap stages the jet axis INTO the VMEM blocks)."""
+        if not self.pallas_sor:
+            return False
+        if self.jet_vmap:
+            return False
+        from ..core.solver_pallas import _fits_vmem
+        return jax.default_backend() != "cpu" and _fits_vmem(h, w)
 
     def penalties(self):
         color = make_penalty(*self.robust_color)
@@ -182,8 +213,10 @@ class MultiFrameParams:
                                        cls.warp_mode, str),
             fused_data=params.parameter("slow_flow_fused_data",
                                         "1" if cls.fused_data else "0", bool),
-            merge_warp=params.parameter("slow_flow_merge_warp",
-                                        "1" if cls.merge_warp else "0", bool),
+            merge_warp=(params.parameter("slow_flow_merge_warp", type=bool)
+                        if params.exists("slow_flow_merge_warp") else None),
+            pallas_sor=(params.parameter("slow_flow_pallas_sor", type=bool)
+                        if params.exists("slow_flow_pallas_sor") else None),
             jet_vmap=params.parameter("slow_flow_jet_vmap",
                                       "1" if cls.jet_vmap else "0", bool),
             unroll_jets=params.parameter("slow_flow_unroll_jets",
@@ -644,26 +677,34 @@ def solve_binary_potts(e0, e1, alpha, iterations: int, init=None):
     ICM runs from three starts — the data-cost argmin and the two constant
     labelings — and returns the lowest-energy fixed point: with strong
     coupling a single synchronous-sweep start can land above even a constant
-    labeling (measured), while the multi-start is a strict improvement at
-    negligible cost (the occlusion step is ~3% of an outer iteration).
+    labeling (measured). The three starts run STACKED on a leading axis
+    through one while_loop (identical results to three serial loops: a
+    stable start is a fixed point of further sweeps, so running the batch
+    until every start settles is a no-op for the ones already settled) —
+    the occlusion step measured ~3.1 ms/call with serial starts, the single
+    largest ablatable share of the solve (tools/prof_solve_ablate.py r4:
+    occlusion reasoning = 107 of 334 ms/jet).
     Returns labels in {0, 1} as float32.
     """
     h, w = e0.shape
-    lab = jnp.where(e1 < e0, 1.0, 0.0) if init is None else init
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     red = ((yy + xx) % 2 == 0)
 
-    def neigh_sum(l):
-        padded = jnp.pad(l, 1, mode="edge")
-        cnt1 = (padded[:-2, 1:-1] + padded[2:, 1:-1]
-                + padded[1:-1, :-2] + padded[1:-1, 2:])
-        # number of neighbors (border pixels have fewer)
-        ones = jnp.pad(jnp.ones_like(l), 1)
-        deg = (ones[:-2, 1:-1] + ones[2:, 1:-1] + ones[1:-1, :-2] + ones[1:-1, 2:])
-        return cnt1, deg
+    # number of neighbors (border pixels have fewer) — static, hoisted out
+    # of the sweep loop
+    ones = jnp.pad(jnp.ones((h, w), e0.dtype), 1)
+    deg = (ones[:-2, 1:-1] + ones[2:, 1:-1]
+           + ones[1:-1, :-2] + ones[1:-1, 2:])
+
+    def cnt_ones(l):
+        """Sum of 4-neighbor labels, edge-replicated, on [..., H, W]."""
+        pad = [(0, 0)] * (l.ndim - 2) + [(1, 1), (1, 1)]
+        padded = jnp.pad(l, pad, mode="edge")
+        return (padded[..., :-2, 1:-1] + padded[..., 2:, 1:-1]
+                + padded[..., 1:-1, :-2] + padded[..., 1:-1, 2:])
 
     def half(lab, mask):
-        cnt1, deg = neigh_sum(lab)
+        cnt1 = cnt_ones(lab)
         c0 = e0 + alpha * cnt1                 # neighbors with label 1 disagree
         c1 = e1 + alpha * (deg - cnt1)
         new = jnp.where(c1 < c0, 1.0, 0.0)
@@ -686,18 +727,18 @@ def solve_binary_potts(e0, e1, alpha, iterations: int, init=None):
                                                     jnp.bool_(True)))
         return out
 
-    def energy(l):
-        both = jnp.where(l > 0.5, e1, e0).sum()
-        pw = (jnp.abs(l[:, 1:] - l[:, :-1]).sum()
-              + jnp.abs(l[1:, :] - l[:-1, :]).sum())
-        return both + alpha * pw
-
     if init is not None:
-        return run_icm(lab)
-    cands = [run_icm(lab), run_icm(jnp.zeros_like(lab)),
-             run_icm(jnp.ones_like(lab))]
-    energies = jnp.stack([energy(l) for l in cands])
-    return jnp.stack(cands)[jnp.argmin(energies)]
+        return run_icm(init)
+
+    lab = jnp.where(e1 < e0, 1.0, 0.0)
+    starts = jnp.stack([lab, jnp.zeros_like(lab), jnp.ones_like(lab)])
+    cands = run_icm(starts)
+
+    both = jnp.where(cands > 0.5, e1[None], e0[None]).sum((-2, -1))
+    pw = (jnp.abs(cands[..., :, 1:] - cands[..., :, :-1]).sum((-2, -1))
+          + jnp.abs(cands[..., 1:, :] - cands[..., :-1, :]).sum((-2, -1)))
+    energies = both + alpha * pw
+    return cands[jnp.argmin(energies)]
 
 
 # --------------------------------------------------------------------------
@@ -738,7 +779,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     # plane ever reaches HBM. The merged path goes one further: the state is
     # the linearization-point flow itself, and one kernel (fused_warp.py)
     # warps in VMEM and assembles in a single dispatch.
-    if (p.fused_data and p.merge_warp and not p.pallas_warp
+    if (p.fused_data and p.merge_warp_on() and not p.pallas_warp
             and p.warp_mode == "shift"):
         interp = jax.default_backend() == "cpu"
         from ..core.warp_shift import _coords
@@ -816,7 +857,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             a11, a12, a22, b1, b2 = data_terms_fn(state, du, dv, gated)
             b1 = sub_laplacian(b1, uu, wh, wv)
             b2 = sub_laplacian(b2, vv, wh, wv)
-            if p.pallas_sor:
+            if p.pallas_sor_on(*wx0.shape[-2:]):
                 from ..core.solver_pallas import sor_coupled_rb_pallas
                 ndu, ndv = sor_coupled_rb_pallas(
                     du, dv, a11, a12, a22, b1, b2, wh, wv,

@@ -139,9 +139,13 @@ def main():
         # the batched custom_vmap kernels flatten the jet batch into the
         # strip grid — larger batches amortize per-kernel latency, which the
         # roofline says dominates at 480x270 (15% VPU / 7% HBM util).
+        # r4 measured: vmap batching scales worse than linear in time
+        # (b4 2.83 / b8 1.97 / b16 1.36 jets/s at merge=0) — the flattened
+        # strip grid loses to per-jet unrolling on the sequential-grid chip,
+        # so big-batch vmap rows are dropped from the default sweep.
         best = (None, 0.0)
         for merge in (False, True):
-            for mode, batches in (("unroll", (4,)), ("vmap", (4, 8, 16))):
+            for mode, batches in (("unroll", (4,)), ("vmap", (4,))):
                 for b in batches:
                     pv = replace(p, merge_warp=merge,
                                  jet_vmap=(mode == "vmap"),
