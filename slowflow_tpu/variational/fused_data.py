@@ -104,7 +104,7 @@ def _yrepl(a, grow0, h: int):
 
 def assemble_from_windows(wext, mask_full, du, dv, cw, *,
                           p, mode: str, r: int, wp: int, w_img: int,
-                          h_img: int, grow0):
+                          h_img: int, grow0, zero_duv: bool = False):
     """Data-term assembly on VMEM-resident halo-EXT strip windows.
 
     wext: [F, 3, win_h, Wp] warped-frame windows in assembly layout (image
@@ -113,7 +113,12 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
     occ); du/dv: [r, Wp]; cw: [3, r, Wp]; grow0: global image row of ext
     row 0 (traced scalar). Returns the list of output planes [r, Wp] —
     (a11, a12, a22, b1, b2) or (e0, e1). Shared by the plain fused-data
-    kernel and the merged warp+assembly kernel (fused_warp.py)."""
+    kernel and the merged warp+assembly kernel (fused_warp.py).
+
+    zero_duv: STATIC promise that du == dv == 0 (true on every call when
+    niter_inner == 1, the production config: the inner while evaluates the
+    data terms exactly once, at the zero increment) — elides the
+    linearization FMAs, which XLA cannot do for runtime zeros."""
     ref = p.ref
     n = 2 * ref
     color_pen, grad_pen, _ = p.penalties()
@@ -217,7 +222,7 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
         a11, a12, a22, b1, b2 = acc
         # ---- successive data term (jacobian -Ix, -Iy) ----
         if p.delta != 0.0 and succ_on:
-            t = cw * (izf - ix * du - iy * dv)
+            t = cw * izf if zero_duv else cw * (izf - ix * du - iy * dv)
             if p.dataterm_norm:
                 nn = ix * ix + iy * iy + DATANORM
                 arg = (t * t / nn).sum(0)
@@ -233,8 +238,12 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
             b1 = b1 + (coef * izf * ix).sum(0)
             b2 = b2 + (coef * izf * iy).sum(0)
         if p.gamma != 0.0 and succ_on:
-            t1 = cw * (ixz - ixx * du - ixy * dv)
-            t2 = cw * (iyz - ixy * du - iyy * dv)
+            if zero_duv:
+                t1 = cw * ixz
+                t2 = cw * iyz
+            else:
+                t1 = cw * (ixz - ixx * du - ixy * dv)
+                t2 = cw * (iyz - ixy * du - iyy * dv)
             if p.dataterm_norm:
                 n1_ = ixx * ixx + ixy * ixy + DATANORM
                 n2_ = iyy * iyy + ixy * ixy + DATANORM
@@ -258,7 +267,8 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
         if sref is not None:
             (ixr, iyr, izr, ixxr, ixyr, iyyr, ixzr, iyzr) = sref
         if p.delta != 0.0 and ref_on:
-            t = cw * (izr + ixr * fac * du + iyr * fac * dv)
+            t = cw * izr if zero_duv else \
+                cw * (izr + ixr * fac * du + iyr * fac * dv)
             if p.dataterm_norm:
                 nn = facsq * (ixr * ixr + iyr * iyr) + DATANORM
             else:
@@ -272,8 +282,12 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
             a12 = a12 + (coef * facsq * ixr * iyr).sum(0)
             a22 = a22 + (coef * facsq * iyr * iyr).sum(0)
         if p.gamma != 0.0 and ref_on:
-            t1 = cw * (ixzr + ixxr * fac * du + ixyr * fac * dv)
-            t2 = cw * (iyzr + ixyr * fac * du + iyyr * fac * dv)
+            if zero_duv:
+                t1 = cw * ixzr
+                t2 = cw * iyzr
+            else:
+                t1 = cw * (ixzr + ixxr * fac * du + ixyr * fac * dv)
+                t2 = cw * (iyzr + ixyr * fac * du + iyyr * fac * dv)
             if p.dataterm_norm:
                 n1_ = facsq * (ixxr * ixxr + ixyr * ixyr) + DATANORM
                 n2_ = facsq * (iyyr * iyyr + ixyr * ixyr) + DATANORM
@@ -303,7 +317,7 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
 
 def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
             p, mode: str, r: int, wp: int, w_img: int, h_img: int,
-            n_r: int):
+            n_r: int, zero_duv: bool = False):
     """One row strip. w_ref: [1, F, 3, win_h, Wp] edge-replicated halo-4
     windows; mask_ref: [1, N, r, Wp] (gated for assembly, raw for occ);
     outputs are [1, r, Wp] planes."""
@@ -313,14 +327,16 @@ def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
     grow0 = (pl.program_id(0) % n_r) * r - EXT
     outs = assemble_from_windows(
         w_ref[0], mask_ref[0], du_ref[0], dv_ref[0], cw_ref[0],
-        p=p, mode=mode, r=r, wp=wp, w_img=w_img, h_img=h_img, grow0=grow0)
+        p=p, mode=mode, r=r, wp=wp, w_img=w_img, h_img=h_img, grow0=grow0,
+        zero_duv=zero_duv)
     for ref_out, val in zip(out_refs, outs):
         ref_out[0] = val
 
 
 def fused_data_system_batched(warped, mask, du, dv, channel_w, p,
                               mode="assembly", r: int = R_STRIP,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              zero_duv: bool = False):
     """Batched fused assembly: warped [B, 2*ref+1, 3, H, W], mask
     [B, 2*ref, H, W], du/dv [B, H, W], channel_w [B, 3, H, W]. The jet batch
     flattens into the strip grid (B * n_strips steps, identical per-strip
@@ -365,7 +381,7 @@ def fused_data_system_batched(warped, mask, du, dv, channel_w, p,
     n_out = 5 if mode == "assembly" else 2
     outs = pl.pallas_call(
         partial(_kernel, p=p, mode=mode, r=r, wp=wp, w_img=w, h_img=h,
-                n_r=n_r),
+                n_r=n_r, zero_duv=zero_duv),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, f, c, win_h, wp), lambda s: (s, 0, 0, 0, 0),
@@ -384,12 +400,13 @@ def fused_data_system_batched(warped, mask, du, dv, channel_w, p,
 
 
 def fused_data_system(warped, mask, du, dv, channel_w, p, mode="assembly",
-                      r: int = R_STRIP, interpret: bool = False):
+                      r: int = R_STRIP, interpret: bool = False,
+                      zero_duv: bool = False):
     """warped: [2*ref+1, 3, H, W]; mask: [2*ref, H, W] (gated for assembly,
     raw for occ); du/dv: [H, W]; channel_w: [3, H, W].
 
     mode="assembly" -> (a11, a12, a22, b1, b2); mode="occ" -> (e0, e1)."""
     outs = fused_data_system_batched(
         warped[None], mask[None], du[None], dv[None], channel_w[None], p,
-        mode=mode, r=r, interpret=interpret)
+        mode=mode, r=r, interpret=interpret, zero_duv=zero_duv)
     return tuple(o[0] for o in outs)

@@ -126,7 +126,7 @@ def _warp_window(win, wxe, wye, offx, offy, fac, *, kx: int, ky: int,
 def _merged_kernel(offx_ref, offy_ref, src_ref, wxp_ref, wyp_ref, mask_ref,
                    du_ref, dv_ref, cw_ref, *out_refs, p, mode: str, ks_nz,
                    facs_nz, r: int, wp: int, w_img: int, h_img: int,
-                   n_r: int, win_h_a: int):
+                   n_r: int, win_h_a: int, zero_duv: bool = False):
     """One strip program: slice source + flow windows out of the resident
     anchored blocks, warp every window frame in VMEM, assemble."""
     from jax.experimental import pallas as pl
@@ -172,7 +172,8 @@ def _merged_kernel(offx_ref, offy_ref, src_ref, wxp_ref, wyp_ref, mask_ref,
         i_nz += 1
     outs = assemble_from_windows(wext, mask_ref[0], du_ref[0], dv_ref[0],
                                  cw_ref[0], p=p, mode=mode, r=r, wp=wp,
-                                 w_img=w_img, h_img=h_img, grow0=grow0)
+                                 w_img=w_img, h_img=h_img, grow0=grow0,
+                                 zero_duv=zero_duv)
     for ref_out, val in zip(out_refs, outs):
         ref_out[0] = val
 
@@ -195,6 +196,7 @@ def _banded_stack(seq, wx, wy, ref: int):
 
 
 def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
+                            *, zero_duv: bool = False,
                             mode: str = "assembly", r: int = R_STRIP,
                             interpret: bool = False, ladder=DEFAULT_LADDER):
     """Batched merged warp+assembly. seq [B, 2*ref+1, 3, H, W] (the window
@@ -308,7 +310,8 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
 
         def branch(_):
             outs = pl.pallas_call(
-                partial(_merged_kernel, p=p, mode=mode, ks_nz=ks_nz,
+                partial(_merged_kernel, p=p, mode=mode, zero_duv=zero_duv,
+                        ks_nz=ks_nz,
                         facs_nz=facs, r=r, wp=wp, w_img=w, h_img=h,
                         n_r=n_r, win_h_a=win_h_a),
                 grid=(nb,),
@@ -349,9 +352,11 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
 
 def fused_warp_data(seq, wx, wy, mask, du, dv, cw, p,
                     mode: str = "assembly", r: int = R_STRIP,
-                    interpret: bool = False, ladder=DEFAULT_LADDER):
+                    interpret: bool = False, ladder=DEFAULT_LADDER,
+                    zero_duv: bool = False):
     """Single-jet merged warp+assembly (see fused_warp_data_batched)."""
     outs = fused_warp_data_batched(
         seq[None], wx[None], wy[None], mask[None], du[None], dv[None],
-        cw[None], p, mode=mode, r=r, interpret=interpret, ladder=ladder)
+        cw[None], p, mode=mode, r=r, interpret=interpret, ladder=ladder,
+        zero_duv=zero_duv)
     return tuple(o[0] for o in outs)

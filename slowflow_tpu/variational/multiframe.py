@@ -271,11 +271,12 @@ def _warp_shift_cv(ref: int, interpret: bool, _cache={}):
     return fn
 
 
-def _fused_warp_cv(p, mode: str, interpret: bool, _cache={}):
+def _fused_warp_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
+                   _cache={}):
     """custom_vmap-wrapped merged warp+assembly kernel (fused_warp.py)."""
     from jax.custom_batching import custom_vmap
 
-    key = (p, mode, interpret)
+    key = (p, mode, interpret, zero_duv)
     if key in _cache:
         return _cache[key]
     from .fused_warp import fused_warp_data, fused_warp_data_batched
@@ -285,24 +286,25 @@ def _fused_warp_cv(p, mode: str, interpret: bool, _cache={}):
     @custom_vmap
     def fn(seq, wx, wy, mask, du, dv, cw):
         return fused_warp_data(seq, wx, wy, mask, du, dv, cw, p, mode=mode,
-                               interpret=interpret)
+                               interpret=interpret, zero_duv=zero_duv)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = _broadcast_unbatched(axis_size, in_batched, args)
         out = fused_warp_data_batched(*args, p, mode=mode,
-                                      interpret=interpret)
+                                      interpret=interpret, zero_duv=zero_duv)
         return out, (True,) * n_out
 
     _cache[key] = fn
     return fn
 
 
-def _fused_data_cv(p, mode: str, interpret: bool, _cache={}):
+def _fused_data_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
+                   _cache={}):
     """custom_vmap-wrapped fused derivative/IRLS kernel."""
     from jax.custom_batching import custom_vmap
 
-    key = (p, mode, interpret)
+    key = (p, mode, interpret, zero_duv)
     if key in _cache:
         return _cache[key]
     from .fused_data import fused_data_system, fused_data_system_batched
@@ -312,13 +314,14 @@ def _fused_data_cv(p, mode: str, interpret: bool, _cache={}):
     @custom_vmap
     def fn(warped, mask, du, dv, cw):
         return fused_data_system(warped, mask, du, dv, cw, p, mode=mode,
-                                 interpret=interpret)
+                                 interpret=interpret, zero_duv=zero_duv)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = _broadcast_unbatched(axis_size, in_batched, args)
         out = fused_data_system_batched(*args, p, mode=mode,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        zero_duv=zero_duv)
         return out, (True,) * n_out
 
     _cache[key] = fn
@@ -803,7 +806,11 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
         def data_terms_fn(state, du, dv, gated):
             wxc, wyc, _ = state
-            return _fused_warp_cv(p, "assembly", interp)(
+            # niter_inner == 1: the inner while evaluates the data terms
+            # exactly once, at du = dv = 0 — a static fact the kernel can
+            # elide the linearization FMAs on (XLA cannot fold runtime 0s)
+            return _fused_warp_cv(p, "assembly", interp,
+                                  zero_duv=(p.niter_inner == 1))(
                 seq, wxc, wyc, gated, du, dv, channel_w)
     elif p.fused_data and not p.pallas_warp:
         interp = jax.default_backend() == "cpu"
@@ -824,8 +831,9 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
         def data_terms_fn(state, du, dv, gated):
             warped, _ = state
-            return _fused_data_cv(p, "assembly", interp)(warped, gated,
-                                                         du, dv, channel_w)
+            return _fused_data_cv(p, "assembly", interp,
+                                  zero_duv=(p.niter_inner == 1))(
+                warped, gated, du, dv, channel_w)
     else:
         def derive_state(wxc, wyc):
             return get_derivatives_mt(seq, wxc, wyc, ref, p.pallas_warp,
