@@ -314,7 +314,9 @@ def main():
                     jet_vmap=(champion["mode"] == "vmap"),
                     unroll_jets=(champion["mode"] == "unroll"),
                     **({"pallas_sor": champion["pallas_sor"]}
-                       if "pallas_sor" in champion else {}))
+                       if "pallas_sor" in champion else {}),
+                    **({"fused_solve": champion["fused_solve"]}
+                       if "fused_solve" in champion else {}))
         if not args.batch:
             batch = champion["batch"]
 

@@ -80,6 +80,15 @@ class MultiFrameParams:
                                             # flow — tools/prof_psor.py), so
                                             # the default stays the XLA path;
                                             # see docs/PROFILING.md round 4
+    fused_solve: bool | None = None         # fuse smoothness + sub_laplacian
+                                            # + coupled red-black SOR into ONE
+                                            # VMEM-resident Pallas program per
+                                            # jet (fused_solve.py) — removes
+                                            # every XLA op boundary of the
+                                            # post-assembly solve step. None =
+                                            # auto, resolved from the on-chip
+                                            # A/B (tools/prof_fsolve.py); cfg
+                                            # knob slow_flow_fused_solve
     pallas_warp: bool = False               # VMEM one-hot warp kernel
     warp_mode: str = "shift"                # "shift" (small-motion Pallas
                                             # kernel w/ banded fallback) or
@@ -133,6 +142,18 @@ class MultiFrameParams:
         if self.merge_warp is not None:
             return self.merge_warp
         return jax.default_backend() != "cpu"
+
+    def fused_solve_on(self, h: int, w: int) -> bool:
+        """Resolve the tri-state fused_solve for an h x w level.
+
+        auto (None) resolves to OFF until the on-chip A/B flips it; explicit
+        True is honored wherever the kernel can run (any backend via
+        interpret on CPU; level must fit VMEM; mutually exclusive with
+        pallas_sor, which it subsumes)."""
+        if not self.fused_solve:
+            return False
+        from .fused_solve import fits_vmem
+        return fits_vmem(h, w)
 
     def pallas_sor_on(self, h: int, w: int) -> bool:
         """Resolve the tri-state pallas_sor for an h x w level.
@@ -217,6 +238,8 @@ class MultiFrameParams:
                         if params.exists("slow_flow_merge_warp") else None),
             pallas_sor=(params.parameter("slow_flow_pallas_sor", type=bool)
                         if params.exists("slow_flow_pallas_sor") else None),
+            fused_solve=(params.parameter("slow_flow_fused_solve", type=bool)
+                         if params.exists("slow_flow_fused_solve") else None),
             jet_vmap=params.parameter("slow_flow_jet_vmap",
                                       "1" if cls.jet_vmap else "0", bool),
             unroll_jets=params.parameter("slow_flow_unroll_jets",
@@ -323,6 +346,35 @@ def _fused_data_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
                                         interpret=interpret,
                                         zero_duv=zero_duv)
         return out, (True,) * n_out
+
+    _cache[key] = fn
+    return fn
+
+
+def _fused_solve_cv(p, interpret: bool, _cache={}):
+    """custom_vmap-wrapped fused smoothness+laplacian+SOR solve step."""
+    from jax.custom_batching import custom_vmap
+
+    key = (p, interpret)
+    if key in _cache:
+        return _cache[key]
+    from .fused_solve import fused_solve_step, fused_solve_step_batched
+
+    _, _, reg_pen = p.penalties()
+    kw = dict(alpha=p.alpha, reg_pen=reg_pen, method=p.smoothing,
+              iterations=p.niter_solver, omega=p.sor_omega,
+              interpret=interpret)
+
+    @custom_vmap
+    def fn(uu, vv, dpsis, a11, a12, a22, b1, b2, du, dv):
+        return fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2,
+                                du, dv, **kw)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = _broadcast_unbatched(axis_size, in_batched, args)
+        out = fused_solve_step_batched(*args, **kw)
+        return out, (True, True)
 
     _cache[key] = fn
     return fn
@@ -860,20 +912,25 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
         def body(c):
             du, dv, uu, vv, it, _ = c
-            wh, wv = compute_smoothness_mt(uu, vv, dpsis_weight, p.alpha,
-                                           reg_pen, p.smoothing)
             a11, a12, a22, b1, b2 = data_terms_fn(state, du, dv, gated)
-            b1 = sub_laplacian(b1, uu, wh, wv)
-            b2 = sub_laplacian(b2, vv, wh, wv)
-            if p.pallas_sor_on(*wx0.shape[-2:]):
-                from ..core.solver_pallas import sor_coupled_rb_pallas
-                ndu, ndv = sor_coupled_rb_pallas(
-                    du, dv, a11, a12, a22, b1, b2, wh, wv,
-                    iterations=p.niter_solver, omega=p.sor_omega)
+            if p.fused_solve_on(*wx0.shape[-2:]):
+                interp_fs = jax.default_backend() == "cpu"
+                ndu, ndv = _fused_solve_cv(p, interp_fs)(
+                    uu, vv, dpsis_weight, a11, a12, a22, b1, b2, du, dv)
             else:
-                ndu, ndv = sor_coupled_rb(
-                    du, dv, a11, a12, a22, b1, b2, wh, wv,
-                    iterations=p.niter_solver, omega=p.sor_omega)
+                wh, wv = compute_smoothness_mt(uu, vv, dpsis_weight, p.alpha,
+                                               reg_pen, p.smoothing)
+                b1 = sub_laplacian(b1, uu, wh, wv)
+                b2 = sub_laplacian(b2, vv, wh, wv)
+                if p.pallas_sor_on(*wx0.shape[-2:]):
+                    from ..core.solver_pallas import sor_coupled_rb_pallas
+                    ndu, ndv = sor_coupled_rb_pallas(
+                        du, dv, a11, a12, a22, b1, b2, wh, wv,
+                        iterations=p.niter_solver, omega=p.sor_omega)
+                else:
+                    ndu, ndv = sor_coupled_rb(
+                        du, dv, a11, a12, a22, b1, b2, wh, wv,
+                        iterations=p.niter_solver, omega=p.sor_omega)
             change = jnp.maximum(jnp.abs(ndu - du).sum(),
                                  jnp.abs(ndv - dv).sum()) / hw
             return (ndu, ndv, wx0 + ndu, wy0 + ndv, it + jnp.int32(1),

@@ -127,12 +127,14 @@ def mf_defaults_ok(p):
                                 MultiFrameParams.merge_warp,
                                 MultiFrameParams.jet_vmap,
                                 MultiFrameParams.unroll_jets)
+    assert mp.fused_solve is MultiFrameParams.fused_solve
     p.set_parameter("slow_flow_merge_warp", "1")
     p.set_parameter("slow_flow_jet_vmap", "1")
     p.set_parameter("slow_flow_warp_mode", "banded")
+    p.set_parameter("slow_flow_fused_solve", "1")
     mp2 = MultiFrameParams.from_parameter_list(p)
-    assert (mp2.merge_warp, mp2.jet_vmap, mp2.warp_mode) == (True, True,
-                                                             "banded")
+    assert (mp2.merge_warp, mp2.jet_vmap, mp2.warp_mode,
+            mp2.fused_solve) == (True, True, "banded", True)
 
 
 def test_slow_flow_batched_sharded_mesh():
