@@ -87,6 +87,10 @@ def test_pallas_warp_matches_xla(rng):
     for f in range(3):
         want, wmask = warp_bilinear(jnp.asarray(seq[f]), wx, wy,
                                     factor=float(factors[f]), banded=False)
+        # Precision.HIGH (bf16x3) contract on 0-255 images: newer XLA CPU
+        # no longer evaluates HIGH one-hot contractions exactly (~2.5e-5
+        # relative, i.e. ~6e-3 absolute at this scale) — same relaxation as
+        # the warp identity tests in test_core.py
         np.testing.assert_allclose(np.asarray(out[f]), np.asarray(want),
-                                   atol=1e-4)
+                                   atol=2e-2)
         np.testing.assert_array_equal(np.asarray(masks[f]), np.asarray(wmask))

@@ -108,8 +108,12 @@ def test_batch_path_equivalence():
     assert (np.asarray(occ_k) != np.asarray(occ_u)).mean() < 0.01
     p_v = dataclasses.replace(p, unroll_jets=False, jet_vmap=False)
     wx_v, wy_v, occ_v = variational_mt_batched(z, z, seq, p_v)
-    np.testing.assert_allclose(np.asarray(wx_u), np.asarray(wx_v), atol=5e-4)
-    np.testing.assert_allclose(np.asarray(wy_u), np.asarray(wy_v), atol=5e-4)
+    # cross-kernel tolerance: newer XLA CPU evaluates the Precision.HIGH
+    # one-hot warp contractions inexactly (~2.5e-5 relative; see
+    # test_core.py), which compounds to ~1e-3 px through the 2-level solve
+    # (measured 9.1e-4 max, occ labels identical)
+    np.testing.assert_allclose(np.asarray(wx_u), np.asarray(wx_v), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(wy_u), np.asarray(wy_v), atol=2e-3)
     assert (np.asarray(occ_u) != np.asarray(occ_v)).mean() < 0.01
 
 
