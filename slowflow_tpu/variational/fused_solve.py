@@ -38,10 +38,21 @@ def fits_vmem(h: int, w: int) -> bool:
 
 
 def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
-                  b1_ref, b2_ref, du_ref, dv_ref, ndu_ref, ndv_ref, *,
-                  alpha: float, reg_pen, method: int, iterations: int,
-                  omega: float):
+                  b1_ref, b2_ref, *rest, alpha: float, reg_pen, method: int,
+                  iterations: int, omega: float, zero_init: bool):
+    """rest is (du_ref, dv_ref, ndu_ref, ndv_ref), or (ndu_ref, ndv_ref)
+    when zero_init (the production niter_inner==1 case: the solver always
+    starts from du = dv = 0, so the operands are dropped entirely — inside
+    the solve's while-loops XLA keeps every operand plane VMEM-resident, and
+    the ~18 MB scoped budget is shared between those blocks and the kernel
+    stack)."""
     from jax.experimental.pallas import tpu as pltpu
+
+    if zero_init:
+        ndu_ref, ndv_ref = rest
+        du_ref = dv_ref = None
+    else:
+        du_ref, dv_ref, ndu_ref, ndv_ref = rest
 
     uu = uu_ref[0]
     vv = vv_ref[0]
@@ -83,21 +94,25 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
     vy1 = jnp.where(row == h - 1, 0.0, south_c(vv) - vv)
 
     if method <= 1:
+        # accumulate the squared-gradient sums term by term (each term's
+        # temporaries die immediately) — the kernel must stay under the
+        # default ~18 MB scoped-VMEM stack at 480x270
+        hsq = ux1 * ux1 + vx1 * vx1
+        vsq = uy1 * uy1 + vy1 * vy1
         if method == 1:
             # DERIV_3PT central difference, edge-clamped
-            ux2 = 0.5 * (east_c(uu) - west_c(uu))
-            vx2 = 0.5 * (east_c(vv) - west_c(vv))
             uy2 = 0.5 * (south_c(uu) - north_c(uu))
+            th = 0.5 * (uy2 + east_c(uy2))
+            hsq = hsq + th * th
             vy2 = 0.5 * (south_c(vv) - north_c(vv))
-            th_u = 0.5 * (uy2 + east_c(uy2))
-            th_v = 0.5 * (vy2 + east_c(vy2))
-            tv_u = 0.5 * (ux2 + south_c(ux2))
-            tv_v = 0.5 * (vx2 + south_c(vx2))
-            hsq = ux1 * ux1 + th_u * th_u + vx1 * vx1 + th_v * th_v
-            vsq = uy1 * uy1 + tv_u * tv_u + vy1 * vy1 + tv_v * tv_v
-        else:
-            hsq = ux1 * ux1 + vx1 * vx1
-            vsq = uy1 * uy1 + vy1 * vy1
+            th = 0.5 * (vy2 + east_c(vy2))
+            hsq = hsq + th * th
+            ux2 = 0.5 * (east_c(uu) - west_c(uu))
+            tv = 0.5 * (ux2 + south_c(ux2))
+            vsq = vsq + tv * tv
+            vx2 = 0.5 * (east_c(vv) - west_c(vv))
+            tv = 0.5 * (vx2 + south_c(vx2))
+            vsq = vsq + tv * tv
         wh = (dpsis + east_c(dpsis)) * alpha * reg_pen.derivative(hsq)
         wv = (dpsis + south_c(dpsis)) * alpha * reg_pen.derivative(vsq)
     else:
@@ -120,13 +135,16 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
         dst = dst + tv - north0(tv)
         return dst
 
-    b1 = sub_lap(b1_ref[0], uu)
-    b2 = sub_lap(b2_ref[0], vv)
+    # park the adjusted RHS in the OUTPUT blocks during the sweep loop (they
+    # are dead until the final du/dv store) — two planes off the VMEM stack
+    ndu_ref[0] = sub_lap(b1_ref[0], uu)
+    ndv_ref[0] = sub_lap(b2_ref[0], vv)
 
     # ---- coupled red-black SOR (solver.c:17-57 fixed point) ----
-    w_n = north0(wv)
-    w_w = west0(wh)
-    sum_w = w_n + w_w + wv + wh
+    # the shifted neighbour weights are never materialized: w_n*north0(x)
+    # == north0(wv*x) exactly (shift of product = product of shifts), which
+    # keeps two planes off the persistent VMEM stack
+    sum_w = north0(wv) + west0(wh) + wv + wh
     A11 = a11_ref[0] + sum_w
     A22 = a22_ref[0] + sum_w
     a12 = a12_ref[0]
@@ -137,15 +155,14 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
     i22 = A11 / det
 
     red = ((row + col) % 2 == 0)
-    black = jnp.logical_not(red)
 
     def half(du, dv, mask):
-        su = w_n * north0(du) + w_w * west0(du) + wv * south0(du) \
+        su = north0(wv * du) + west0(wh * du) + wv * south0(du) \
             + wh * east0(du)
-        sv = w_n * north0(dv) + w_w * west0(dv) + wv * south0(dv) \
+        sv = north0(wv * dv) + west0(wh * dv) + wv * south0(dv) \
             + wh * east0(dv)
-        B1 = b1 + su
-        B2 = b2 + sv
+        B1 = ndu_ref[0] + su
+        B2 = ndv_ref[0] + sv
         nu = i11 * B1 + i12 * B2
         nv = i12 * B1 + i22 * B2
         du = jnp.where(mask, (1 - omega) * du + omega * nu, du)
@@ -155,49 +172,68 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
     def body(_, carry):
         du, dv = carry
         du, dv = half(du, dv, red)
-        du, dv = half(du, dv, black)
+        du, dv = half(du, dv, jnp.logical_not(red))
         return du, dv
 
-    du, dv = jax.lax.fori_loop(0, iterations, body, (du_ref[0], dv_ref[0]))
+    if zero_init:
+        init = (jnp.zeros_like(uu), jnp.zeros_like(uu))
+    else:
+        init = (du_ref[0], dv_ref[0])
+    du, dv = jax.lax.fori_loop(0, iterations, body, init)
     ndu_ref[0] = du
     ndv_ref[0] = dv
 
 
-def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2, du, dv,
-                             *, alpha: float, reg_pen, method: int,
-                             iterations: int, omega: float,
+def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
+                             du=None, dv=None, *, alpha: float, reg_pen,
+                             method: int, iterations: int, omega: float,
                              interpret: bool = False):
     """Batched fused solve step. All inputs [B, H, W] f32; returns
     (ndu, ndv) [B, H, W] — bit-compatible with
-    compute_smoothness_mt + 2x sub_laplacian + sor_coupled_rb."""
+    compute_smoothness_mt + 2x sub_laplacian + sor_coupled_rb.
+
+    du/dv may be None (the production niter_inner==1 case): the sweep then
+    starts from zeros materialized in-kernel, two operand planes fewer.
+    Memory discipline: inside the solve's while-loops XLA holds every
+    operand/result plane of this call VMEM-resident, sharing the ~18 MB
+    scoped budget with the kernel stack — hence the dropped operands, the
+    RHS parked in the output blocks, the shifted-weight planes folded into
+    the sweep products, and the term-by-term smoothness accumulation.
+    (Raising vmem_limit_bytes to
+    100 MB instead made the full 4-jet x 5-level program SIGSEGV the remote
+    Mosaic compiler — keep the kernel lean rather than the limit high.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    zero_init = du is None
     b, h, w = uu.shape
     kernel = partial(_solve_kernel, alpha=float(alpha), reg_pen=reg_pen,
                      method=int(method), iterations=int(iterations),
-                     omega=float(omega))
+                     omega=float(omega), zero_init=zero_init)
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    args = (uu, vv, dpsis, a11, a12, a22, b1, b2) \
+        + (() if zero_init else (du, dv))
     out_du, out_dv = pl.pallas_call(
         kernel,
         grid=(b,),
         out_shape=(jax.ShapeDtypeStruct((b, h, w), uu.dtype),
                    jax.ShapeDtypeStruct((b, h, w), uu.dtype)),
-        in_specs=[spec] * 10,
+        in_specs=[spec] * len(args),
         out_specs=(spec, spec),
         interpret=interpret,
-    )(uu, vv, dpsis, a11, a12, a22, b1, b2, du, dv)
+    )(*args)
     return out_du, out_dv
 
 
-def fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2, du, dv, *,
-                     alpha: float, reg_pen, method: int, iterations: int,
+def fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2, du=None, dv=None,
+                     *, alpha: float, reg_pen, method: int, iterations: int,
                      omega: float, interpret: bool = False):
     """Single-jet fused solve step (see fused_solve_step_batched)."""
     outs = fused_solve_step_batched(
         uu[None], vv[None], dpsis[None], a11[None], a12[None], a22[None],
-        b1[None], b2[None], du[None], dv[None], alpha=alpha,
+        b1[None], b2[None], None if du is None else du[None],
+        None if dv is None else dv[None], alpha=alpha,
         reg_pen=reg_pen, method=method, iterations=iterations, omega=omega,
         interpret=interpret)
     return tuple(o[0] for o in outs)

@@ -86,9 +86,10 @@ class MultiFrameParams:
                                             # jet (fused_solve.py) — removes
                                             # every XLA op boundary of the
                                             # post-assembly solve step. None =
-                                            # auto, resolved from the on-chip
-                                            # A/B (tools/prof_fsolve.py); cfg
-                                            # knob slow_flow_fused_solve
+                                            # auto: ON for TPU when the level
+                                            # fits VMEM (3.31 vs 3.27 jets/s,
+                                            # tools/prof_fsolve.py); cfg knob
+                                            # slow_flow_fused_solve
     pallas_warp: bool = False               # VMEM one-hot warp kernel
     warp_mode: str = "shift"                # "shift" (small-motion Pallas
                                             # kernel w/ banded fallback) or
@@ -146,11 +147,15 @@ class MultiFrameParams:
     def fused_solve_on(self, h: int, w: int) -> bool:
         """Resolve the tri-state fused_solve for an h x w level.
 
-        auto (None) resolves to OFF until the on-chip A/B flips it; explicit
-        True is honored wherever the kernel can run (any backend via
-        interpret on CPU; level must fit VMEM; mutually exclusive with
-        pallas_sor, which it subsumes)."""
-        if not self.fused_solve:
+        auto (None) = ON for TPU when the level fits VMEM: measured 3.31 vs
+        3.27 jets/s at the champion config with identical recovered-flow
+        error, reproduced across two A/Bs (tools/prof_fsolve.py, round 4).
+        Explicit True is honored on any backend (interpret on CPU); it
+        subsumes pallas_sor."""
+        if self.fused_solve is None:
+            if jax.default_backend() == "cpu":
+                return False
+        elif not self.fused_solve:
             return False
         from .fused_solve import fits_vmem
         return fits_vmem(h, w)
@@ -351,11 +356,15 @@ def _fused_data_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
     return fn
 
 
-def _fused_solve_cv(p, interpret: bool, _cache={}):
-    """custom_vmap-wrapped fused smoothness+laplacian+SOR solve step."""
+def _fused_solve_cv(p, interpret: bool, zero_init: bool = False, _cache={}):
+    """custom_vmap-wrapped fused smoothness+laplacian+SOR solve step.
+
+    zero_init (STATIC, true whenever niter_inner == 1): the sweep starts
+    from du = dv = 0 materialized in-kernel; the du/dv operands vanish from
+    the call (see fused_solve.py's memory-discipline note)."""
     from jax.custom_batching import custom_vmap
 
-    key = (p, interpret)
+    key = (p, interpret, zero_init)
     if key in _cache:
         return _cache[key]
     from .fused_solve import fused_solve_step, fused_solve_step_batched
@@ -365,10 +374,16 @@ def _fused_solve_cv(p, interpret: bool, _cache={}):
               iterations=p.niter_solver, omega=p.sor_omega,
               interpret=interpret)
 
-    @custom_vmap
-    def fn(uu, vv, dpsis, a11, a12, a22, b1, b2, du, dv):
-        return fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2,
-                                du, dv, **kw)
+    if zero_init:
+        @custom_vmap
+        def fn(uu, vv, dpsis, a11, a12, a22, b1, b2):
+            return fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2,
+                                    **kw)
+    else:
+        @custom_vmap
+        def fn(uu, vv, dpsis, a11, a12, a22, b1, b2, du, dv):
+            return fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2,
+                                    du, dv, **kw)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
@@ -915,8 +930,12 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             a11, a12, a22, b1, b2 = data_terms_fn(state, du, dv, gated)
             if p.fused_solve_on(*wx0.shape[-2:]):
                 interp_fs = jax.default_backend() == "cpu"
-                ndu, ndv = _fused_solve_cv(p, interp_fs)(
-                    uu, vv, dpsis_weight, a11, a12, a22, b1, b2, du, dv)
+                if p.niter_inner == 1:   # du == dv == 0, statically
+                    ndu, ndv = _fused_solve_cv(p, interp_fs, zero_init=True)(
+                        uu, vv, dpsis_weight, a11, a12, a22, b1, b2)
+                else:
+                    ndu, ndv = _fused_solve_cv(p, interp_fs)(
+                        uu, vv, dpsis_weight, a11, a12, a22, b1, b2, du, dv)
             else:
                 wh, wv = compute_smoothness_mt(uu, vv, dpsis_weight, p.alpha,
                                                reg_pen, p.smoothing)

@@ -67,6 +67,20 @@ def test_fused_solve_nonzero_init_and_trunc_penalty(rng):
     np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=2e-5)
 
 
+def test_fused_solve_zero_init_drops_operands(rng):
+    """Omitting du/dv (the production niter_inner==1 form — zeros
+    materialized in-kernel) must equal the explicit-zeros call exactly."""
+    h, w = 14, 18
+    args = _args(rng, h, w)
+    kw = dict(alpha=4.0, reg_pen=make_penalty(1, 0.001, 0.5), method=1,
+              iterations=6, omega=1.9)
+    explicit = fused_solve_step(**args, **kw, interpret=True)
+    del args["du"], args["dv"]
+    dropped = fused_solve_step(**args, **kw, interpret=True)
+    np.testing.assert_array_equal(dropped[0], explicit[0])
+    np.testing.assert_array_equal(dropped[1], explicit[1])
+
+
 def test_fused_solve_batched_matches_per_jet(rng):
     h, w, b = 10, 14, 3
     per = [_args(rng, h, w) for _ in range(b)]
