@@ -316,7 +316,9 @@ def main():
                     **({"pallas_sor": champion["pallas_sor"]}
                        if "pallas_sor" in champion else {}),
                     **({"fused_solve": champion["fused_solve"]}
-                       if "fused_solve" in champion else {}))
+                       if "fused_solve" in champion else {}),
+                    **({"strip_r": champion["strip_r"]}
+                       if "strip_r" in champion else {}))
         if not args.batch:
             batch = champion["batch"]
 

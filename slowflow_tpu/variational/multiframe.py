@@ -80,6 +80,14 @@ class MultiFrameParams:
                                             # flow — tools/prof_psor.py), so
                                             # the default stays the XLA path;
                                             # see docs/PROFILING.md round 4
+    strip_r: int = 0                        # strip height of the merged
+                                            # warp+assembly kernel's grid
+                                            # (0 = R_STRIP). A pure grid
+                                            # knob: the warp-variant ladder
+                                            # fits on GLOBAL per-frame spans,
+                                            # so larger strips only trade
+                                            # per-step latency for VMEM
+                                            # (cfg slow_flow_strip_r)
     fused_solve: bool | None = None         # fuse smoothness + sub_laplacian
                                             # + coupled red-black SOR into ONE
                                             # VMEM-resident Pallas program per
@@ -245,6 +253,7 @@ class MultiFrameParams:
                         if params.exists("slow_flow_pallas_sor") else None),
             fused_solve=(params.parameter("slow_flow_fused_solve", type=bool)
                          if params.exists("slow_flow_fused_solve") else None),
+            strip_r=params.parameter("slow_flow_strip_r", "0", int),
             jet_vmap=params.parameter("slow_flow_jet_vmap",
                                       "1" if cls.jet_vmap else "0", bool),
             unroll_jets=params.parameter("slow_flow_unroll_jets",
@@ -307,19 +316,20 @@ def _fused_warp_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
     key = (p, mode, interpret, zero_duv)
     if key in _cache:
         return _cache[key]
-    from .fused_warp import fused_warp_data, fused_warp_data_batched
+    from .fused_warp import R_STRIP, fused_warp_data, fused_warp_data_batched
 
     n_out = 5 if mode == "assembly" else 2
+    r = p.strip_r or R_STRIP
 
     @custom_vmap
     def fn(seq, wx, wy, mask, du, dv, cw):
         return fused_warp_data(seq, wx, wy, mask, du, dv, cw, p, mode=mode,
-                               interpret=interpret, zero_duv=zero_duv)
+                               r=r, interpret=interpret, zero_duv=zero_duv)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = _broadcast_unbatched(axis_size, in_batched, args)
-        out = fused_warp_data_batched(*args, p, mode=mode,
+        out = fused_warp_data_batched(*args, p, mode=mode, r=r,
                                       interpret=interpret, zero_duv=zero_duv)
         return out, (True,) * n_out
 

@@ -74,6 +74,20 @@ def test_merged_matches_two_kernel(mode, flow_scale, bias, tol):
                                    rtol=5e-4, atol=tol)
 
 
+def test_merged_strip_r_equivalence():
+    """The strip height is a pure grid knob: any r must produce the same
+    planes (the warp-variant ladder fits on global spans, not per strip)."""
+    seq, wx, wy, mask, du, dv, cw = _problem(45, 61, 0.9, seed=4,
+                                             flow_bias=(1.0, -0.5))
+    want = fused_warp_data(seq, wx, wy, mask, du, dv, cw, P, interpret=True)
+    for r in (16, 48):
+        got = fused_warp_data(seq, wx, wy, mask, du, dv, cw, P, r=r,
+                              interpret=True)
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                       rtol=1e-6, atol=1e-5)
+
+
 def test_merged_fallback_on_large_motion():
     # |flow| far beyond every ladder entry: both sides take the banded warp
     seq, wx, wy, mask, du, dv, cw = _problem(40, 48, 1.0, seed=5,
