@@ -318,7 +318,9 @@ def main():
                     **({"fused_solve": champion["fused_solve"]}
                        if "fused_solve" in champion else {}),
                     **({"strip_r": champion["strip_r"]}
-                       if "strip_r" in champion else {}))
+                       if "strip_r" in champion else {}),
+                    **({"self_mask": champion["self_mask"]}
+                       if "self_mask" in champion else {}))
         if not args.batch:
             batch = champion["batch"]
 

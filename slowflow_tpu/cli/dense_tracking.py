@@ -3,7 +3,7 @@
 Mirrors the reference binary's contract (dense_tracking.cpp):
 
     python -m slowflow_tpu.cli.dense_tracking <cfg> [-select N] [-resume]
-        [-output PATH] [-threads N]
+        [-output PATH] [-threads N] [-batch_finals N]
 
 Reads the jet estimations listed under `jet_estimation` (deriving each rate's
 `slow_flow_S` / `jet_fps` from its `config.cfg` snapshot when not given),
@@ -58,7 +58,8 @@ def smoothness_weight(img, avg, std, hbit):
     return np.asarray(0.5 * jnp.exp(-5.0 * jnp.sqrt(lx * lx + ly * ly)))
 
 
-def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
+def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
+        batch_finals=None):
     params = ParameterList()
     params.insert("verbose", "0", True)
     params.read(cfg_path)
@@ -285,7 +286,12 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None):
 
     verbose = params.verbosity(Verbosity.VER_CMD)
     n_threads = max(1, threads or 1)
-    batch_n = min(n_threads, 8)     # finals per batched dispatch chain
+    # -threads N drives the host prefetch pool only; batching finals onto a
+    # leading device axis is opt-in (-batch_finals N) — measured SLOWER on
+    # both CPU (0.83x) and the live chip (0.83x: 10.99 -> 13.22 s/final,
+    # tools/prof_dt.py --ab): the alternation's bank kernels are already
+    # latency-amortized per final, so the F axis only adds padding work
+    batch_n = max(1, batch_finals or 1)
 
     def flush(jobs):
         # a batch must agree on jet-occlusion availability; split when a
@@ -390,6 +396,8 @@ def main(argv=None):
             kw["output"] = argv[i]; i += 1
         elif a == "-threads":
             kw["threads"] = int(argv[i]); i += 1
+        elif a == "-batch_finals":
+            kw["batch_finals"] = int(argv[i]); i += 1
         elif a in ("-h", "-help"):
             print(__doc__)
             return 0

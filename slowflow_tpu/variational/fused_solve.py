@@ -39,15 +39,20 @@ def fits_vmem(h: int, w: int) -> bool:
 
 def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
                   b1_ref, b2_ref, *rest, alpha: float, reg_pen, method: int,
-                  iterations: int, omega: float, zero_init: bool):
+                  iterations: int, omega: float, zero_init: bool,
+                  with_change: bool):
     """rest is (du_ref, dv_ref, ndu_ref, ndv_ref), or (ndu_ref, ndv_ref)
     when zero_init (the production niter_inner==1 case: the solver always
     starts from du = dv = 0, so the operands are dropped entirely — inside
     the solve's while-loops XLA keeps every operand plane VMEM-resident, and
     the ~18 MB scoped budget is shared between those blocks and the kernel
-    stack)."""
+    stack). with_change appends an SMEM (1, 2) output holding
+    (sum|du|, sum|dv|) so the caller's convergence gate needs no plane
+    reductions of its own."""
     from jax.experimental.pallas import tpu as pltpu
 
+    if with_change:
+        *rest, s_ref = rest
     if zero_init:
         ndu_ref, ndv_ref = rest
         du_ref = dv_ref = None
@@ -182,12 +187,16 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
     du, dv = jax.lax.fori_loop(0, iterations, body, init)
     ndu_ref[0] = du
     ndv_ref[0] = dv
+    if with_change:
+        s_ref[0, 0] = jnp.sum(jnp.abs(du))
+        s_ref[0, 1] = jnp.sum(jnp.abs(dv))
 
 
 def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
                              du=None, dv=None, *, alpha: float, reg_pen,
                              method: int, iterations: int, omega: float,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             with_change: bool = False):
     """Batched fused solve step. All inputs [B, H, W] f32; returns
     (ndu, ndv) [B, H, W] — bit-compatible with
     compute_smoothness_mt + 2x sub_laplacian + sor_coupled_rb.
@@ -209,31 +218,39 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
     b, h, w = uu.shape
     kernel = partial(_solve_kernel, alpha=float(alpha), reg_pen=reg_pen,
                      method=int(method), iterations=int(iterations),
-                     omega=float(omega), zero_init=zero_init)
+                     omega=float(omega), zero_init=zero_init,
+                     with_change=with_change)
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     args = (uu, vv, dpsis, a11, a12, a22, b1, b2) \
         + (() if zero_init else (du, dv))
-    out_du, out_dv = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, h, w), uu.dtype),
+                 jax.ShapeDtypeStruct((b, h, w), uu.dtype)]
+    out_specs = [spec, spec]
+    if with_change:
+        out_shape.append(jax.ShapeDtypeStruct((b, 2), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
+    outs = pl.pallas_call(
         kernel,
         grid=(b,),
-        out_shape=(jax.ShapeDtypeStruct((b, h, w), uu.dtype),
-                   jax.ShapeDtypeStruct((b, h, w), uu.dtype)),
+        out_shape=tuple(out_shape),
         in_specs=[spec] * len(args),
-        out_specs=(spec, spec),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(*args)
-    return out_du, out_dv
+    return outs
 
 
 def fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2, du=None, dv=None,
                      *, alpha: float, reg_pen, method: int, iterations: int,
-                     omega: float, interpret: bool = False):
+                     omega: float, interpret: bool = False,
+                     with_change: bool = False):
     """Single-jet fused solve step (see fused_solve_step_batched)."""
     outs = fused_solve_step_batched(
         uu[None], vv[None], dpsis[None], a11[None], a12[None], a22[None],
         b1[None], b2[None], None if du is None else du[None],
         None if dv is None else dv[None], alpha=alpha,
         reg_pen=reg_pen, method=method, iterations=iterations, omega=omega,
-        interpret=interpret)
+        interpret=interpret, with_change=with_change)
     return tuple(o[0] for o in outs)

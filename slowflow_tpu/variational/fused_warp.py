@@ -120,15 +120,31 @@ def _warp_window(win, wxe, wye, offx, offy, fac, *, kx: int, ky: int,
         for q in range(1, kx + 1):
             t = t + wxs[q][None] * rolled[q][:, kq:kq + win_h_a, :]
         acc = acc + wyw[None] * t
-    return acc
+    # warp validity at the strip's real rows (rows EXT..EXT+r): the exact
+    # `inside` predicate of core/warp_shift._coords — x/y here equal its
+    # xx + fac*wx at every in-image pixel (jj/ii clamps only move halo and
+    # padding coords, whose outputs are replaced/discarded anyway)
+    inside = ((x >= 0) & (x <= w_img - 1)
+              & (y >= 0) & (y <= h_img - 1)).astype(jnp.float32)
+    return acc, inside
 
 
 def _merged_kernel(offx_ref, offy_ref, src_ref, wxp_ref, wyp_ref, mask_ref,
                    du_ref, dv_ref, cw_ref, *out_refs, p, mode: str, ks_nz,
                    facs_nz, r: int, wp: int, w_img: int, h_img: int,
-                   n_r: int, win_h_a: int, zero_duv: bool = False):
+                   n_r: int, win_h_a: int, zero_duv: bool = False,
+                   self_mask: bool = False):
     """One strip program: slice source + flow windows out of the resident
-    anchored blocks, warp every window frame in VMEM, assemble."""
+    anchored blocks, warp every window frame in VMEM, assemble.
+
+    self_mask: mask_ref holds the OCCLUSION plane strip [1, r, Wp] instead
+    of the precomputed gated/raw mask [1, N, r, Wp]; the kernel derives the
+    per-offset validity masks from the warp coordinates it already computes
+    (succ_mask semantics: offset s uses the warp mask of non-ref frame
+    nz[s], variational_mt.cpp:97-110) and, in assembly mode, applies the
+    occlusion/direction gate of compute_one_level.gate_masks
+    (variational_mt.cpp:292-320) in VMEM — the caller then never rebuilds
+    coordinate or mask planes between outer iterations."""
     from jax.experimental import pallas as pl
 
     pid = pl.program_id(0)
@@ -157,6 +173,7 @@ def _merged_kernel(offx_ref, offy_ref, src_ref, wxp_ref, wyp_ref, mask_ref,
         return win[:, d:d + rows]
 
     wext = []
+    insides = []
     i_nz = 0
     for k in range(2 * ref + 1):
         if k == ref:
@@ -164,13 +181,39 @@ def _merged_kernel(offx_ref, offy_ref, src_ref, wxp_ref, wyp_ref, mask_ref,
             continue
         kx, ky = ks_nz[i_nz]
         win = window(k, win_h_a + ky)
-        acc = _warp_window(win, wxe, wye, offx_ref[jet, i_nz],
-                           offy_ref[jet, i_nz], facs_nz[i_nz], kx=kx, ky=ky,
-                           wp=wp, w_img=w_img, h_img=h_img, grow0=grow0,
-                           win_h_a=win_h_a)
+        acc, inside = _warp_window(
+            win, wxe, wye, offx_ref[jet, i_nz],
+            offy_ref[jet, i_nz], facs_nz[i_nz], kx=kx, ky=ky,
+            wp=wp, w_img=w_img, h_img=h_img, grow0=grow0,
+            win_h_a=win_h_a)
         wext.append(_xrepl(_yrepl(acc, grow0, h_img), w_img))
+        if self_mask:
+            # window layout puts image col j at plane col j+EXT; the mask
+            # planes are unshifted — rotate the EXT offset away (the wrap
+            # junk lands in the discarded padding columns)
+            from jax.experimental.pallas import tpu as pltpu
+            insides.append(pltpu.roll(inside[EXT:EXT + r],
+                                      (wp - EXT) % wp, axis=1))
         i_nz += 1
-    outs = assemble_from_windows(wext, mask_ref[0], du_ref[0], dv_ref[0],
+    if self_mask:
+        # per-offset masks: offset s < ref uses frame s's warp mask, else
+        # frame s+1's — i.e. exactly the s-th warped (non-ref) frame's
+        mask_full = insides
+        if mode == "assembly":
+            data_norm = float(sum(p.rho[s] + p.omega[s]
+                                  for s in range(ref)))
+            o = mask_ref[0]
+            factor = (1.0 + (o == 0.0).astype(jnp.float32)) * data_norm
+            backward = (o >= 0.0).astype(jnp.float32) / factor
+            forward = (o <= 0.0).astype(jnp.float32) / factor
+            mask_full = [
+                m * (jnp.zeros_like(o) if (p.one_direction and s < ref)
+                     else (backward if s < ref else forward))
+                for s, m in enumerate(mask_full)]
+        mask_full = jnp.stack(mask_full)
+    else:
+        mask_full = mask_ref[0]
+    outs = assemble_from_windows(wext, mask_full, du_ref[0], dv_ref[0],
                                  cw_ref[0], p=p, mode=mode, r=r, wp=wp,
                                  w_img=w_img, h_img=h_img, grow0=grow0,
                                  zero_duv=zero_duv)
@@ -196,7 +239,7 @@ def _banded_stack(seq, wx, wy, ref: int):
 
 
 def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
-                            *, zero_duv: bool = False,
+                            *, zero_duv: bool = False, occ=None,
                             mode: str = "assembly", r: int = R_STRIP,
                             interpret: bool = False, ladder=DEFAULT_LADDER):
     """Batched merged warp+assembly. seq [B, 2*ref+1, 3, H, W] (the window
@@ -204,11 +247,20 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
     [B, 2*ref, H, W] (gated for assembly, raw for occ); du/dv [B, H, W];
     cw [B, 3, H, W].
 
+    Self-masking: pass mask=None and occ=[B, H, W] (the occlusion plane) —
+    the kernel then derives the validity masks from its own warp
+    coordinates and applies the occlusion gate in VMEM, so the caller never
+    materializes coordinate/mask planes (in occ mode the gate is skipped;
+    the raw self-computed masks match succ_mask exactly).
+
     mode="assembly" -> (a11, a12, a22, b1, b2) each [B, H, W];
     mode="occ" -> (e0, e1)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    self_mask = mask is None
+    if self_mask:
+        assert occ is not None, "self-masking needs the occ plane"
     b, f, c, h, w = seq.shape
     ref = p.ref
     n = 2 * ref
@@ -290,8 +342,11 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
         pads = [(0, 0)] * (a.ndim - 2) + [(0, hp - h), (0, wp - w)]
         return jnp.pad(a, pads)
 
-    mask_p = padp(mask).reshape(b, n, n_r, r, wp) \
-        .transpose(0, 2, 1, 3, 4).reshape(nb, n, r, wp)
+    if self_mask:
+        mask_p = padp(occ).reshape(nb, r, wp)
+    else:
+        mask_p = padp(mask).reshape(b, n, n_r, r, wp) \
+            .transpose(0, 2, 1, 3, 4).reshape(nb, n, r, wp)
     du_p = padp(du).reshape(nb, r, wp)
     dv_p = padp(dv).reshape(nb, r, wp)
     cw_p = padp(cw).reshape(b, c, n_r, r, wp) \
@@ -304,6 +359,8 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((b, fnz), lambda s: (0, 0),
                          memory_space=pltpu.SMEM)
+    mspec = pspec if self_mask else pl.BlockSpec(
+        (1, n, r, wp), lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM)
 
     def make_branch(kin, kout):
         ks_nz = [kin if g == 0 else kout for g in groups]
@@ -311,7 +368,7 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
         def branch(_):
             outs = pl.pallas_call(
                 partial(_merged_kernel, p=p, mode=mode, zero_duv=zero_duv,
-                        ks_nz=ks_nz,
+                        self_mask=self_mask, ks_nz=ks_nz,
                         facs_nz=facs, r=r, wp=wp, w_img=w, h_img=h,
                         n_r=n_r, win_h_a=win_h_a),
                 grid=(nb,),
@@ -321,8 +378,7 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
                                  lambda s, n_r=n_r: (s // n_r, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     jspec, jspec,
-                    pl.BlockSpec((1, n, r, wp), lambda s: (s, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                    mspec,
                     pspec, pspec,
                     pl.BlockSpec((1, c, r, wp), lambda s: (s, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
@@ -343,7 +399,34 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
 
     def fallback(_):
         warped = _banded_stack(seq, wx, wy, ref)
-        return fused_data_system_batched(warped, mask, du, dv, cw, p,
+        if self_mask:
+            # rebuild in XLA exactly what the kernel self-derives: per-offset
+            # succ masks from the warp coordinates, occlusion-gated for
+            # assembly (compute_one_level.gate_masks semantics)
+            from ..core.warp_shift import _coords
+
+            factors_all = jnp.arange(f, dtype=jnp.float32) - ref
+            inside = jax.vmap(
+                lambda u, v: _coords(u, v, factors_all, h, w)[-1])(wx, wy)
+            inside = inside.astype(jnp.float32)                # [B, F, H, W]
+            past = (jnp.arange(n) < ref)[:, None, None]
+            m = jnp.where(past, inside[:, :n], inside[:, 1:])  # succ_mask
+            if mode == "assembly":
+                data_norm = float(sum(p.rho[s] + p.omega[s]
+                                      for s in range(ref)))
+                factor = (1.0 + (occ == 0.0)) * data_norm
+                backward = (occ >= 0.0) / factor
+                forward = (occ <= 0.0) / factor
+                s_ix = jnp.arange(n)[:, None, None]
+                gate = jnp.where(s_ix < ref, backward[:, None],
+                                 forward[:, None])
+                if p.one_direction:
+                    gate = jnp.where(s_ix < ref, 0.0, gate)
+                m = m * gate
+            eff_mask = m
+        else:
+            eff_mask = mask
+        return fused_data_system_batched(warped, eff_mask, du, dv, cw, p,
                                          mode=mode, interpret=interpret)
 
     branches = [make_branch(kin, kout) for kin, kout in ladder]
@@ -353,10 +436,11 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
 def fused_warp_data(seq, wx, wy, mask, du, dv, cw, p,
                     mode: str = "assembly", r: int = R_STRIP,
                     interpret: bool = False, ladder=DEFAULT_LADDER,
-                    zero_duv: bool = False):
+                    zero_duv: bool = False, occ=None):
     """Single-jet merged warp+assembly (see fused_warp_data_batched)."""
     outs = fused_warp_data_batched(
-        seq[None], wx[None], wy[None], mask[None], du[None], dv[None],
+        seq[None], wx[None], wy[None],
+        None if mask is None else mask[None], du[None], dv[None],
         cw[None], p, mode=mode, r=r, interpret=interpret, ladder=ladder,
-        zero_duv=zero_duv)
+        zero_duv=zero_duv, occ=None if occ is None else occ[None])
     return tuple(o[0] for o in outs)

@@ -80,6 +80,16 @@ class MultiFrameParams:
                                             # flow — tools/prof_psor.py), so
                                             # the default stays the XLA path;
                                             # see docs/PROFILING.md round 4
+    self_mask: bool | None = None           # merged kernel derives the
+                                            # per-offset validity masks from
+                                            # its own warp coordinates and
+                                            # applies the occlusion gate in
+                                            # VMEM — the outer loop then
+                                            # skips derive_state's coords
+                                            # and gate_masks entirely. None
+                                            # = auto, off until the on-chip
+                                            # A/B (tools/prof_selfmask.py);
+                                            # cfg slow_flow_self_mask
     strip_r: int = 0                        # strip height of the merged
                                             # warp+assembly kernel's grid
                                             # (0 = R_STRIP). A pure grid
@@ -253,6 +263,8 @@ class MultiFrameParams:
                         if params.exists("slow_flow_pallas_sor") else None),
             fused_solve=(params.parameter("slow_flow_fused_solve", type=bool)
                          if params.exists("slow_flow_fused_solve") else None),
+            self_mask=(params.parameter("slow_flow_self_mask", type=bool)
+                       if params.exists("slow_flow_self_mask") else None),
             strip_r=params.parameter("slow_flow_strip_r", "0", int),
             jet_vmap=params.parameter("slow_flow_jet_vmap",
                                       "1" if cls.jet_vmap else "0", bool),
@@ -309,11 +321,15 @@ def _warp_shift_cv(ref: int, interpret: bool, _cache={}):
 
 
 def _fused_warp_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
-                   _cache={}):
-    """custom_vmap-wrapped merged warp+assembly kernel (fused_warp.py)."""
+                   self_mask: bool = False, _cache={}):
+    """custom_vmap-wrapped merged warp+assembly kernel (fused_warp.py).
+
+    self_mask: the 4th argument is the occlusion plane [H, W] instead of
+    the precomputed mask stack [2*ref, H, W] — validity masks and the
+    occlusion gate are derived in VMEM (see fused_warp.py)."""
     from jax.custom_batching import custom_vmap
 
-    key = (p, mode, interpret, zero_duv)
+    key = (p, mode, interpret, zero_duv, self_mask)
     if key in _cache:
         return _cache[key]
     from .fused_warp import R_STRIP, fused_warp_data, fused_warp_data_batched
@@ -321,17 +337,35 @@ def _fused_warp_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
     n_out = 5 if mode == "assembly" else 2
     r = p.strip_r or R_STRIP
 
-    @custom_vmap
-    def fn(seq, wx, wy, mask, du, dv, cw):
-        return fused_warp_data(seq, wx, wy, mask, du, dv, cw, p, mode=mode,
-                               r=r, interpret=interpret, zero_duv=zero_duv)
+    if self_mask:
+        @custom_vmap
+        def fn(seq, wx, wy, occ, du, dv, cw):
+            return fused_warp_data(seq, wx, wy, None, du, dv, cw, p,
+                                   mode=mode, r=r, interpret=interpret,
+                                   zero_duv=zero_duv, occ=occ)
 
-    @fn.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        args = _broadcast_unbatched(axis_size, in_batched, args)
-        out = fused_warp_data_batched(*args, p, mode=mode, r=r,
-                                      interpret=interpret, zero_duv=zero_duv)
-        return out, (True,) * n_out
+        @fn.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            seq, wx, wy, occ, du, dv, cw = _broadcast_unbatched(
+                axis_size, in_batched, args)
+            out = fused_warp_data_batched(
+                seq, wx, wy, None, du, dv, cw, p, mode=mode, r=r,
+                interpret=interpret, zero_duv=zero_duv, occ=occ)
+            return out, (True,) * n_out
+    else:
+        @custom_vmap
+        def fn(seq, wx, wy, mask, du, dv, cw):
+            return fused_warp_data(seq, wx, wy, mask, du, dv, cw, p,
+                                   mode=mode, r=r, interpret=interpret,
+                                   zero_duv=zero_duv)
+
+        @fn.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            args = _broadcast_unbatched(axis_size, in_batched, args)
+            out = fused_warp_data_batched(*args, p, mode=mode, r=r,
+                                          interpret=interpret,
+                                          zero_duv=zero_duv)
+            return out, (True,) * n_out
 
     _cache[key] = fn
     return fn
@@ -366,15 +400,18 @@ def _fused_data_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
     return fn
 
 
-def _fused_solve_cv(p, interpret: bool, zero_init: bool = False, _cache={}):
+def _fused_solve_cv(p, interpret: bool, zero_init: bool = False,
+                    with_change: bool = False, _cache={}):
     """custom_vmap-wrapped fused smoothness+laplacian+SOR solve step.
 
     zero_init (STATIC, true whenever niter_inner == 1): the sweep starts
     from du = dv = 0 materialized in-kernel; the du/dv operands vanish from
-    the call (see fused_solve.py's memory-discipline note)."""
+    the call (see fused_solve.py's memory-discipline note). with_change
+    adds a third output [2] = (sum|du|, sum|dv|), reduced in-kernel so the
+    convergence gates cost no extra plane passes."""
     from jax.custom_batching import custom_vmap
 
-    key = (p, interpret, zero_init)
+    key = (p, interpret, zero_init, with_change)
     if key in _cache:
         return _cache[key]
     from .fused_solve import fused_solve_step, fused_solve_step_batched
@@ -382,7 +419,8 @@ def _fused_solve_cv(p, interpret: bool, zero_init: bool = False, _cache={}):
     _, _, reg_pen = p.penalties()
     kw = dict(alpha=p.alpha, reg_pen=reg_pen, method=p.smoothing,
               iterations=p.niter_solver, omega=p.sor_omega,
-              interpret=interpret)
+              interpret=interpret, with_change=with_change)
+    n_out = 3 if with_change else 2
 
     if zero_init:
         @custom_vmap
@@ -399,7 +437,7 @@ def _fused_solve_cv(p, interpret: bool, zero_init: bool = False, _cache={}):
     def _rule(axis_size, in_batched, *args):
         args = _broadcast_unbatched(axis_size, in_batched, args)
         out = fused_solve_step_batched(*args, **kw)
-        return out, (True, True)
+        return out, (True,) * n_out
 
     _cache[key] = fn
     return fn
@@ -859,7 +897,36 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     # plane ever reaches HBM. The merged path goes one further: the state is
     # the linearization-point flow itself, and one kernel (fused_warp.py)
     # warps in VMEM and assembles in a single dispatch.
+    gate_fn = None
     if (p.fused_data and p.merge_warp_on() and not p.pallas_warp
+            and p.warp_mode == "shift" and p.self_mask):
+        # self-masking merged route: the state is the flow alone — the
+        # kernel derives the validity masks from its own warp coordinates
+        # and applies the occlusion gate in VMEM, so neither derive_state
+        # nor gate_masks builds any plane between outer iterations
+        interp = jax.default_backend() == "cpu"
+
+        def derive_state(wxc, wyc):
+            return wxc, wyc
+
+        state_mask = None
+
+        def gate_fn(state, occ):
+            return occ                      # gated in-kernel
+
+        def occ_costs_fn(state):
+            wxc, wyc = state
+            z = jnp.zeros_like(wxc)
+            return _fused_warp_cv(p, "occ", interp, self_mask=True)(
+                seq, wxc, wyc, z, z, z, channel_w)
+
+        def data_terms_fn(state, du, dv, gated):
+            wxc, wyc = state
+            return _fused_warp_cv(p, "assembly", interp,
+                                  zero_duv=(p.niter_inner == 1),
+                                  self_mask=True)(
+                seq, wxc, wyc, gated, du, dv, channel_w)
+    elif (p.fused_data and p.merge_warp_on() and not p.pallas_warp
             and p.warp_mode == "shift"):
         interp = jax.default_backend() == "cpu"
         from ..core.warp_shift import _coords
@@ -928,6 +995,11 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             return add_data_terms(du, dv, gated, succ, to_ref, channel_w, p)
 
     def inner_loop(wx0, wy0, uu, vv, gated, state):
+        """Returns (uu, vv, change). With niter_inner == 1 the returned
+        change is the du-space increment magnitude max(sum|du|, sum|dv|)/hw,
+        which equals the outer's flow-space |new - old| exactly in reals
+        (du starts at 0) — the outer loop reuses it instead of re-reducing
+        |uu - wx| over the planes."""
         du0 = jnp.zeros_like(wx0)
         dv0 = jnp.zeros_like(wy0)
 
@@ -938,10 +1010,12 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
         def body(c):
             du, dv, uu, vv, it, _ = c
             a11, a12, a22, b1, b2 = data_terms_fn(state, du, dv, gated)
+            sums = None
             if p.fused_solve_on(*wx0.shape[-2:]):
                 interp_fs = jax.default_backend() == "cpu"
                 if p.niter_inner == 1:   # du == dv == 0, statically
-                    ndu, ndv = _fused_solve_cv(p, interp_fs, zero_init=True)(
+                    ndu, ndv, sums = _fused_solve_cv(
+                        p, interp_fs, zero_init=True, with_change=True)(
                         uu, vv, dpsis_weight, a11, a12, a22, b1, b2)
                 else:
                     ndu, ndv = _fused_solve_cv(p, interp_fs)(
@@ -960,15 +1034,18 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                     ndu, ndv = sor_coupled_rb(
                         du, dv, a11, a12, a22, b1, b2, wh, wv,
                         iterations=p.niter_solver, omega=p.sor_omega)
-            change = jnp.maximum(jnp.abs(ndu - du).sum(),
-                                 jnp.abs(ndv - dv).sum()) / hw
+            if sums is None:
+                change = jnp.maximum(jnp.abs(ndu - du).sum(),
+                                     jnp.abs(ndv - dv).sum()) / hw
+            else:                        # reduced in-kernel (fused_solve)
+                change = jnp.maximum(sums[0], sums[1]) / hw
             return (ndu, ndv, wx0 + ndu, wy0 + ndv, it + jnp.int32(1),
                     jnp.float32(change))
 
-        du, dv, uu, vv, _, _ = jax.lax.while_loop(
+        du, dv, uu, vv, _, change = jax.lax.while_loop(
             cond, body, (du0, dv0, uu, vv, jnp.int32(0),
                          jnp.float32(jnp.inf)))
-        return uu, vv
+        return uu, vv, change
 
     def outer_loop(wx, wy, occ, state):
         """Derivatives are computed once per *executed* iteration (the
@@ -981,10 +1058,14 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
 
         def body(c):
             wx, wy, state, it, _ = c
-            gated = gate_masks(state_mask(state), occ)
-            uu, vv = inner_loop(wx, wy, wx, wy, gated, state)
-            change = jnp.maximum(jnp.abs(uu - wx).sum(),
-                                 jnp.abs(vv - wy).sum()) / hw
+            gated = gate_fn(state, occ) if gate_fn is not None \
+                else gate_masks(state_mask(state), occ)
+            uu, vv, change = inner_loop(wx, wy, wx, wy, gated, state)
+            if p.niter_inner != 1:
+                # multi-increment inner loops: the last increment magnitude
+                # is not the cumulative |new - old|; re-reduce over planes
+                change = jnp.maximum(jnp.abs(uu - wx).sum(),
+                                     jnp.abs(vv - wy).sum()) / hw
             change = jnp.float32(change)
             if p.jet_vmap:
                 # vmap-compatible trace: re-derive unconditionally. The exit

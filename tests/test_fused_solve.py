@@ -81,6 +81,22 @@ def test_fused_solve_zero_init_drops_operands(rng):
     np.testing.assert_array_equal(dropped[1], explicit[1])
 
 
+def test_fused_solve_with_change_sums(rng):
+    """The in-kernel (sum|du|, sum|dv|) reduction must equal the host-side
+    reduction of the returned planes."""
+    h, w = 12, 16
+    args = _args(rng, h, w)
+    del args["du"], args["dv"]
+    kw = dict(alpha=4.0, reg_pen=make_penalty(1, 0.001, 0.5), method=1,
+              iterations=5, omega=1.9)
+    ndu, ndv, s = fused_solve_step(**args, **kw, interpret=True,
+                                   with_change=True)
+    np.testing.assert_allclose(float(s[0]), np.abs(np.asarray(ndu)).sum(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(s[1]), np.abs(np.asarray(ndv)).sum(),
+                               rtol=1e-6)
+
+
 def test_fused_solve_batched_matches_per_jet(rng):
     h, w, b = 10, 14, 3
     per = [_args(rng, h, w) for _ in range(b)]

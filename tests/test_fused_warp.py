@@ -74,6 +74,77 @@ def test_merged_matches_two_kernel(mode, flow_scale, bias, tol):
                                    rtol=5e-4, atol=tol)
 
 
+def _explicit_masks(wx, wy, occ, p, h, w):
+    """What the self-masking kernel must reproduce: succ masks from warp
+    coordinates + compute_one_level's occlusion gate."""
+    from slowflow_tpu.core.warp_shift import _coords
+    from slowflow_tpu.variational.multiframe import succ_mask
+
+    ref = p.ref
+    f = 2 * ref + 1
+    factors = jnp.arange(f, dtype=jnp.float32) - ref
+    inside = _coords(wx, wy, factors, h, w)[-1].astype(jnp.float32)
+    m = succ_mask(inside, ref)
+    data_norm = float(sum(p.rho[s] + p.omega[s] for s in range(ref)))
+    factor = (1.0 + (occ == 0.0)) * data_norm
+    backward = (occ >= 0.0) / factor
+    forward = (occ <= 0.0) / factor
+    s_ix = jnp.arange(2 * ref)[:, None, None]
+    gate = jnp.where(s_ix < ref, backward[None], forward[None])
+    return m, m * gate
+
+
+@pytest.mark.parametrize("flow_scale,bias", [
+    (0.3, (0.0, 0.0)),          # shift rung
+    (1.0, (14.0, -11.0)),       # banded fallback
+])
+def test_self_mask_matches_explicit(flow_scale, bias):
+    """mask=None + occ plane must equal the precomputed-mask call for both
+    modes, on the kernel rungs and the banded fallback."""
+    h, w = 45, 61
+    seq, wx, wy, _, du, dv, cw = _problem(h, w, flow_scale, seed=6,
+                                          flow_bias=bias)
+    rng = np.random.default_rng(9)
+    occ = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], size=(h, w)), jnp.float32)
+    raw, gated = _explicit_masks(wx, wy, occ, P, h, w)
+
+    want = fused_warp_data(seq, wx, wy, gated, du, dv, cw, P,
+                           mode="assembly", interpret=True)
+    got = fused_warp_data(seq, wx, wy, None, du, dv, cw, P,
+                          mode="assembly", interpret=True, occ=occ)
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                   rtol=1e-5, atol=1e-4)
+
+    z = jnp.zeros_like(wx)
+    want_o = fused_warp_data(seq, wx, wy, raw, z, z, cw, P, mode="occ",
+                             interpret=True)
+    got_o = fused_warp_data(seq, wx, wy, None, z, z, cw, P, mode="occ",
+                            interpret=True, occ=occ)
+    for g, wv in zip(got_o, want_o):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_self_mask_full_solve_equivalence():
+    """variational_mt with self_mask=True must match the default route."""
+    from dataclasses import replace
+
+    from slowflow_tpu.variational.multiframe import variational_mt
+
+    h, w = 32, 40
+    rng = np.random.default_rng(11)
+    seq = jnp.asarray(rng.random((5, 3, h, w)).astype(np.float32))
+    p = replace(P, layers=2, niter_alter=2, niter_outer=3, niter_solver=6,
+                merge_warp=True)
+    wx = jnp.zeros((h, w), jnp.float32)
+    base = variational_mt(wx, wx, seq, p)
+    self_m = variational_mt(wx, wx, seq, replace(p, self_mask=True))
+    np.testing.assert_allclose(self_m[0], base[0], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(self_m[1], base[1], rtol=0, atol=1e-4)
+    assert (np.asarray(self_m[2]) != np.asarray(base[2])).mean() < 0.01
+
+
 def test_merged_strip_r_equivalence():
     """The strip height is a pure grid knob: any r must produce the same
     planes (the warp-variant ladder fits on global spans, not per strip)."""
