@@ -188,8 +188,8 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
     ndu_ref[0] = du
     ndv_ref[0] = dv
     if with_change:
-        s_ref[0, 0] = jnp.sum(jnp.abs(du))
-        s_ref[0, 1] = jnp.sum(jnp.abs(dv))
+        s_ref[0, 0, 0] = jnp.sum(jnp.abs(du))
+        s_ref[0, 0, 1] = jnp.sum(jnp.abs(dv))
 
 
 def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
@@ -228,8 +228,11 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
                  jax.ShapeDtypeStruct((b, h, w), uu.dtype)]
     out_specs = [spec, spec]
     if with_change:
-        out_shape.append(jax.ShapeDtypeStruct((b, 2), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
+        # Mosaic's block rule needs the last two dims to equal the array's
+        # (or be tile multiples): a (1, 1, 2) block over (b, 1, 2) is legal
+        # for any batch, unlike (1, 2) over (b, 2)
+        out_shape.append(jax.ShapeDtypeStruct((b, 1, 2), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                                       memory_space=pltpu.SMEM))
     outs = pl.pallas_call(
         kernel,
@@ -239,6 +242,8 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
         out_specs=tuple(out_specs),
         interpret=interpret,
     )(*args)
+    if with_change:
+        outs = (outs[0], outs[1], outs[2].reshape(b, 2))
     return outs
 
 

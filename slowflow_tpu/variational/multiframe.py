@@ -87,9 +87,11 @@ class MultiFrameParams:
                                             # VMEM — the outer loop then
                                             # skips derive_state's coords
                                             # and gate_masks entirely. None
-                                            # = auto, off until the on-chip
-                                            # A/B (tools/prof_selfmask.py);
-                                            # cfg slow_flow_self_mask
+                                            # = auto: ON for TPU (3.37 ->
+                                            # 3.41 jets/s, flow
+                                            # bit-identical —
+                                            # tools/prof_selfmask.py); cfg
+                                            # slow_flow_self_mask
     strip_r: int = 0                        # strip height of the merged
                                             # warp+assembly kernel's grid
                                             # (0 = R_STRIP). A pure grid
@@ -161,6 +163,13 @@ class MultiFrameParams:
         if self.merge_warp is not None:
             return self.merge_warp
         return jax.default_backend() != "cpu"
+
+    def self_mask_on(self) -> bool:
+        """Resolve the tri-state self_mask (auto = TPU only, like
+        merge_warp: CPU keeps the interpret-mode test routes unchanged)."""
+        if self.self_mask is None:
+            return jax.default_backend() != "cpu"
+        return self.self_mask
 
     def fused_solve_on(self, h: int, w: int) -> bool:
         """Resolve the tri-state fused_solve for an h x w level.
@@ -899,7 +908,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     # warps in VMEM and assembles in a single dispatch.
     gate_fn = None
     if (p.fused_data and p.merge_warp_on() and not p.pallas_warp
-            and p.warp_mode == "shift" and p.self_mask):
+            and p.warp_mode == "shift" and p.self_mask_on()):
         # self-masking merged route: the state is the flow alone — the
         # kernel derives the validity masks from its own warp coordinates
         # and applies the occlusion gate in VMEM, so neither derive_state
