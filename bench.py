@@ -320,7 +320,9 @@ def main():
                     **({"strip_r": champion["strip_r"]}
                        if "strip_r" in champion else {}),
                     **({"self_mask": champion["self_mask"]}
-                       if "self_mask" in champion else {}))
+                       if "self_mask" in champion else {}),
+                    **({"packed_sor": champion["packed_sor"]}
+                       if "packed_sor" in champion else {}))
         if not args.batch:
             batch = champion["batch"]
 

@@ -37,10 +37,127 @@ def fits_vmem(h: int, w: int) -> bool:
     return 32 * h * w * 4 < VMEM_BUDGET_BYTES
 
 
+def _packed_rb_sweeps(ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
+                      du0, dv0, *, iterations: int, omega: float):
+    """Checkerboard-PACKED red-black SOR: each color's cells live in a dense
+    [H, W/2] plane, so every half-sweep computes only the updated color's
+    arithmetic (the masked full-width formulation computes both colors and
+    discards half). Per-cell expressions, operand order, and the
+    red-then-black schedule are identical to the masked path — results
+    match to FMA-contraction noise (~1 ulp/sweep; the compiler fuses
+    multiply-adds differently across the two expression trees).
+    Packing convention: color plane col i2 holds image col
+    2*i2 + offset, offset 0 on even rows for red (1 for black) and swapped
+    on odd rows; vertical neighbours then share the packed column, and
+    west/east neighbours are a row-parity select between the neighbour
+    plane and its one-column shift."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    w2 = w // 2
+    even = (row[:, :w2] % 2 == 0)
+
+    # de/interleave via one-hot selection matmuls — Mosaic has no lane-
+    # strided slice (it lowers to an unsupported gather), but a [w, w2]
+    # 0/1 matrix on the MXU is exact at HIGHEST precision (each output is
+    # one value plus zeros) and costs microseconds
+    wi = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 0)
+    w2i = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 1)
+    s_even = (wi == 2 * w2i).astype(jnp.float32)
+    s_odd = (wi == 2 * w2i + 1).astype(jnp.float32)
+    # transposed selectors built directly from iota (no in-kernel transpose)
+    w2j = jax.lax.broadcasted_iota(jnp.int32, (w2, w), 0)
+    wj = jax.lax.broadcasted_iota(jnp.int32, (w2, w), 1)
+    s_even_t = (wj == 2 * w2j).astype(jnp.float32)
+    s_odd_t = (wj == 2 * w2j + 1).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def pack(x):
+        a = jnp.dot(x, s_even, precision=hi)       # even image cols
+        b = jnp.dot(x, s_odd, precision=hi)        # odd image cols
+        return jnp.where(even, a, b), jnp.where(even, b, a)
+
+    def unpack(xr, xb):
+        a = jnp.where(even, xr, xb)        # even image cols
+        b = jnp.where(even, xb, xr)        # odd image cols
+        return jnp.dot(a, s_even_t, precision=hi) \
+            + jnp.dot(b, s_odd_t, precision=hi)
+
+    def north0p(x):
+        return jnp.where(row[:, :w2] == 0, 0.0,
+                         pltpu.roll(x, shift=1, axis=0))
+
+    def south0p(x):
+        return jnp.where(row[:, :w2] == h - 1, 0.0,
+                         pltpu.roll(x, shift=h - 1, axis=0))
+
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (h, w2), 1)
+
+    def west0p(x):
+        return jnp.where(col2 == 0, 0.0, pltpu.roll(x, shift=1, axis=1))
+
+    def east0p(x):
+        return jnp.where(col2 == w2 - 1, 0.0,
+                         pltpu.roll(x, shift=w2 - 1, axis=1))
+
+    whR, whB = pack(wh)
+    wvR, wvB = pack(wv)
+    i11R, i11B = pack(i11)
+    i12R, i12B = pack(i12)
+    i22R, i22B = pack(i22)
+    # the packed RHS stays as stack values: half-slice reads of the output
+    # blocks at lane offset w2 (not a multiple of 128) CHECK-crash the
+    # Mosaic compiler; the packed pairs cost the same stack as the full
+    # planes while the du/dv carries are now half-size
+    B1R, B1B = pack(ndu_ref[0])
+    B2R, B2B = pack(ndv_ref[0])
+    if du0 is None:
+        duR = duB = dvR = dvB = jnp.zeros((h, w2), jnp.float32)
+    else:
+        duR, duB = pack(du0)
+        dvR, dvB = pack(dv0)
+
+    def half(uS, vS, uN, vN, whS, wvS, wvN, whN, i11S, i12S, i22S, B1S, B2S,
+             red_upd: bool):
+        """Update color S (self) from color N (neighbour plane)."""
+        # west neighbour of S sits one packed col left on rows where S's
+        # image col is even (even rows for red, odd rows for black)
+        sel_w = even if red_upd else jnp.logical_not(even)
+
+        def lat(xN, wN_own):
+            wxa = whN * xN                       # weight at the neighbour
+            westt = jnp.where(sel_w, west0p(wxa), wxa)
+            eastt = wN_own * jnp.where(sel_w, xN, east0p(xN))
+            return westt, eastt
+
+        su_w, su_e = lat(uN, whS)
+        sv_w, sv_e = lat(vN, whS)
+        su = north0p(wvN * uN) + su_w + wvS * south0p(uN) + su_e
+        sv = north0p(wvN * vN) + sv_w + wvS * south0p(vN) + sv_e
+        B1 = B1S + su
+        B2 = B2S + sv
+        nu = i11S * B1 + i12S * B2
+        nv = i12S * B1 + i22S * B2
+        uS = (1 - omega) * uS + omega * nu
+        vS = (1 - omega) * vS + omega * nv
+        return uS, vS
+
+    def body(_, carry):
+        duR, duB, dvR, dvB = carry
+        duR, dvR = half(duR, dvR, duB, dvB, whR, wvR, wvB, whB,
+                        i11R, i12R, i22R, B1R, B2R, True)
+        duB, dvB = half(duB, dvB, duR, dvR, whB, wvB, wvR, whR,
+                        i11B, i12B, i22B, B1B, B2B, False)
+        return duR, duB, dvR, dvB
+
+    duR, duB, dvR, dvB = jax.lax.fori_loop(
+        0, iterations, body, (duR, duB, dvR, dvB))
+    return unpack(duR, duB), unpack(dvR, dvB)
+
+
 def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
                   b1_ref, b2_ref, *rest, alpha: float, reg_pen, method: int,
                   iterations: int, omega: float, zero_init: bool,
-                  with_change: bool):
+                  with_change: bool, packed_rb: bool = False):
     """rest is (du_ref, dv_ref, ndu_ref, ndv_ref), or (ndu_ref, ndv_ref)
     when zero_init (the production niter_inner==1 case: the solver always
     starts from du = dv = 0, so the operands are dropped entirely — inside
@@ -159,32 +276,39 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
     i12 = -a12 / det
     i22 = A11 / det
 
-    red = ((row + col) % 2 == 0)
-
-    def half(du, dv, mask):
-        su = north0(wv * du) + west0(wh * du) + wv * south0(du) \
-            + wh * east0(du)
-        sv = north0(wv * dv) + west0(wh * dv) + wv * south0(dv) \
-            + wh * east0(dv)
-        B1 = ndu_ref[0] + su
-        B2 = ndv_ref[0] + sv
-        nu = i11 * B1 + i12 * B2
-        nv = i12 * B1 + i22 * B2
-        du = jnp.where(mask, (1 - omega) * du + omega * nu, du)
-        dv = jnp.where(mask, (1 - omega) * dv + omega * nv, dv)
-        return du, dv
-
-    def body(_, carry):
-        du, dv = carry
-        du, dv = half(du, dv, red)
-        du, dv = half(du, dv, jnp.logical_not(red))
-        return du, dv
-
-    if zero_init:
-        init = (jnp.zeros_like(uu), jnp.zeros_like(uu))
+    if packed_rb and w % 2 == 0:
+        du, dv = _packed_rb_sweeps(
+            ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
+            None if zero_init else du_ref[0],
+            None if zero_init else dv_ref[0],
+            iterations=iterations, omega=omega)
     else:
-        init = (du_ref[0], dv_ref[0])
-    du, dv = jax.lax.fori_loop(0, iterations, body, init)
+        red = ((row + col) % 2 == 0)
+
+        def half(du, dv, mask):
+            su = north0(wv * du) + west0(wh * du) + wv * south0(du) \
+                + wh * east0(du)
+            sv = north0(wv * dv) + west0(wh * dv) + wv * south0(dv) \
+                + wh * east0(dv)
+            B1 = ndu_ref[0] + su
+            B2 = ndv_ref[0] + sv
+            nu = i11 * B1 + i12 * B2
+            nv = i12 * B1 + i22 * B2
+            du = jnp.where(mask, (1 - omega) * du + omega * nu, du)
+            dv = jnp.where(mask, (1 - omega) * dv + omega * nv, dv)
+            return du, dv
+
+        def body(_, carry):
+            du, dv = carry
+            du, dv = half(du, dv, red)
+            du, dv = half(du, dv, jnp.logical_not(red))
+            return du, dv
+
+        if zero_init:
+            init = (jnp.zeros_like(uu), jnp.zeros_like(uu))
+        else:
+            init = (du_ref[0], dv_ref[0])
+        du, dv = jax.lax.fori_loop(0, iterations, body, init)
     ndu_ref[0] = du
     ndv_ref[0] = dv
     if with_change:
@@ -196,7 +320,8 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
                              du=None, dv=None, *, alpha: float, reg_pen,
                              method: int, iterations: int, omega: float,
                              interpret: bool = False,
-                             with_change: bool = False):
+                             with_change: bool = False,
+                             packed_rb: bool = False):
     """Batched fused solve step. All inputs [B, H, W] f32; returns
     (ndu, ndv) [B, H, W] — bit-compatible with
     compute_smoothness_mt + 2x sub_laplacian + sor_coupled_rb.
@@ -216,10 +341,17 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
 
     zero_init = du is None
     b, h, w = uu.shape
+    # packed_rb is interpret-only for now: the checkerboard-packed sweeps
+    # (bit-compatible, half the update arithmetic) CHECK-crash the current
+    # TPU compiler toolchain ("array.h:480 limits[i] <= dim(i) (2 vs 1)",
+    # reproduced with and without ref half-slices / in-kernel transposes)
+    # while the masked leg of the same program compiles — revisit on the
+    # next libtpu (tools/prof_packed.py is the ready A/B)
+    packed_rb = packed_rb and interpret
     kernel = partial(_solve_kernel, alpha=float(alpha), reg_pen=reg_pen,
                      method=int(method), iterations=int(iterations),
                      omega=float(omega), zero_init=zero_init,
-                     with_change=with_change)
+                     with_change=with_change, packed_rb=packed_rb)
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     args = (uu, vv, dpsis, a11, a12, a22, b1, b2) \
@@ -250,12 +382,12 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
 def fused_solve_step(uu, vv, dpsis, a11, a12, a22, b1, b2, du=None, dv=None,
                      *, alpha: float, reg_pen, method: int, iterations: int,
                      omega: float, interpret: bool = False,
-                     with_change: bool = False):
+                     with_change: bool = False, packed_rb: bool = False):
     """Single-jet fused solve step (see fused_solve_step_batched)."""
     outs = fused_solve_step_batched(
         uu[None], vv[None], dpsis[None], a11[None], a12[None], a22[None],
         b1[None], b2[None], None if du is None else du[None],
         None if dv is None else dv[None], alpha=alpha,
         reg_pen=reg_pen, method=method, iterations=iterations, omega=omega,
-        interpret=interpret, with_change=with_change)
+        interpret=interpret, with_change=with_change, packed_rb=packed_rb)
     return tuple(o[0] for o in outs)

@@ -80,6 +80,17 @@ class MultiFrameParams:
                                             # flow — tools/prof_psor.py), so
                                             # the default stays the XLA path;
                                             # see docs/PROFILING.md round 4
+    packed_sor: bool | None = None          # checkerboard-PACKED red-black
+                                            # sweeps inside the fused solve
+                                            # kernel: each color dense in
+                                            # [H, W/2], no discarded half of
+                                            # the update math; same fixed
+                                            # point to ~1 ulp/sweep.
+                                            # Interpret-only for now — the
+                                            # current TPU compiler CHECK-
+                                            # crashes on the packed program
+                                            # (see fused_solve.py); cfg
+                                            # slow_flow_packed_sor
     self_mask: bool | None = None           # merged kernel derives the
                                             # per-offset validity masks from
                                             # its own warp coordinates and
@@ -274,6 +285,8 @@ class MultiFrameParams:
                          if params.exists("slow_flow_fused_solve") else None),
             self_mask=(params.parameter("slow_flow_self_mask", type=bool)
                        if params.exists("slow_flow_self_mask") else None),
+            packed_sor=(params.parameter("slow_flow_packed_sor", type=bool)
+                        if params.exists("slow_flow_packed_sor") else None),
             strip_r=params.parameter("slow_flow_strip_r", "0", int),
             jet_vmap=params.parameter("slow_flow_jet_vmap",
                                       "1" if cls.jet_vmap else "0", bool),
@@ -428,7 +441,8 @@ def _fused_solve_cv(p, interpret: bool, zero_init: bool = False,
     _, _, reg_pen = p.penalties()
     kw = dict(alpha=p.alpha, reg_pen=reg_pen, method=p.smoothing,
               iterations=p.niter_solver, omega=p.sor_omega,
-              interpret=interpret, with_change=with_change)
+              interpret=interpret, with_change=with_change,
+              packed_rb=bool(p.packed_sor))
     n_out = 3 if with_change else 2
 
     if zero_init:

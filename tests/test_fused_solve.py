@@ -97,6 +97,29 @@ def test_fused_solve_with_change_sums(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("zero", [True, False])
+def test_fused_solve_packed_rb_matches_masked(rng, zero):
+    """Checkerboard-packed sweeps reproduce the masked red-black path to
+    FMA-contraction noise (same per-cell expressions and color order; the
+    compiler fuses multiply-adds differently across the two expression
+    trees — measured max 6e-7 over 6 sweeps)."""
+    h, w = 16, 20
+    args = _args(rng, h, w)
+    if zero:
+        del args["du"], args["dv"]
+    else:
+        args["du"] = jnp.asarray(
+            rng.normal(size=(h, w)).astype(np.float32) * 0.1)
+        args["dv"] = jnp.asarray(
+            rng.normal(size=(h, w)).astype(np.float32) * 0.1)
+    kw = dict(alpha=4.0, reg_pen=make_penalty(1, 0.001, 0.5), method=1,
+              iterations=6, omega=1.9)
+    base = fused_solve_step(**args, **kw, interpret=True)
+    packed = fused_solve_step(**args, **kw, interpret=True, packed_rb=True)
+    np.testing.assert_allclose(packed[0], base[0], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(packed[1], base[1], rtol=0, atol=1e-5)
+
+
 def test_fused_solve_batched_matches_per_jet(rng):
     h, w, b = 10, 14, 3
     per = [_args(rng, h, w) for _ in range(b)]
