@@ -87,20 +87,28 @@ def tpu_jets_per_sec(batch, h, w, p, repeats=7):
     wy = jnp.zeros((batch, h, w), jnp.float32)
     jax.block_until_ready(seq)
 
-    def run():
-        out = variational_mt_batched(wx, wy, seq, p)
-        return float(sum(jnp.sum(o) for o in out))
+    def run(k=1):
+        # k > 1: enqueue k executions of the SAME compiled program before
+        # the single scalar fetch — steady-state pipelined dispatch, as the
+        # CLIs run it (prefetch thread keeps the device queue non-empty).
+        # The k=1 number pays one dispatch+fetch round trip per batch.
+        outs = [variational_mt_batched(wx, wy, seq, p) for _ in range(k)]
+        return float(sum(jnp.sum(o) for out in outs for o in out))
 
     run()  # compile + warmup
     # sanity: the solve must have recovered most of the motion
     out = variational_mt_batched(wx, wy, seq, p)
     err = abs(float(np.median(np.asarray(out[0])[0, 8:-8, 8:-8])) - 1.5)
     times = []
+    times3 = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    best = min(times)
+        t0 = time.perf_counter()
+        run(3)
+        times3.append(time.perf_counter() - t0)
+    best = min(min(times), min(times3) / 3)
     return batch / best, best, err
 
 

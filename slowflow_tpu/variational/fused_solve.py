@@ -37,7 +37,7 @@ def fits_vmem(h: int, w: int) -> bool:
     return 32 * h * w * 4 < VMEM_BUDGET_BYTES
 
 
-def _packed_rb_sweeps(ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
+def _packed_rb_sweeps(ndu_ref, ndv_ref, wh, wv, i11, i12, i22, h, w,
                       du0, dv0, *, iterations: int, omega: float):
     """Checkerboard-PACKED red-black SOR: each color's cells live in a dense
     [H, W/2] plane, so every half-sweep computes only the updated color's
@@ -54,19 +54,28 @@ def _packed_rb_sweeps(ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
     from jax.experimental.pallas import tpu as pltpu
 
     w2 = w // 2
-    even = (row[:, :w2] % 2 == 0)
+    # lane-aligned packed width: the 240-wide (1.875 lane-tile) packed
+    # planes CHECK-crashed the Mosaic compiler; padding the packed axis to
+    # a lane multiple is mathematically transparent — the one-hot selectors
+    # are identically zero in the pad region (2*i2 >= w there), the edge
+    # masks stop any pad->live flow through the rolls, and the packed
+    # i11/i12/i22 pads are exactly zero so the du/dv carries stay 0 in the
+    # pads (all values finite; no 0*inf hazards)
+    w2p = -(-w2 // 128) * 128
+    rowp = jax.lax.broadcasted_iota(jnp.int32, (h, w2p), 0)
+    even = (rowp % 2 == 0)
 
     # de/interleave via one-hot selection matmuls — Mosaic has no lane-
-    # strided slice (it lowers to an unsupported gather), but a [w, w2]
+    # strided slice (it lowers to an unsupported gather), but a [w, w2p]
     # 0/1 matrix on the MXU is exact at HIGHEST precision (each output is
     # one value plus zeros) and costs microseconds
-    wi = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 0)
-    w2i = jax.lax.broadcasted_iota(jnp.int32, (w, w2), 1)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (w, w2p), 0)
+    w2i = jax.lax.broadcasted_iota(jnp.int32, (w, w2p), 1)
     s_even = (wi == 2 * w2i).astype(jnp.float32)
     s_odd = (wi == 2 * w2i + 1).astype(jnp.float32)
     # transposed selectors built directly from iota (no in-kernel transpose)
-    w2j = jax.lax.broadcasted_iota(jnp.int32, (w2, w), 0)
-    wj = jax.lax.broadcasted_iota(jnp.int32, (w2, w), 1)
+    w2j = jax.lax.broadcasted_iota(jnp.int32, (w2p, w), 0)
+    wj = jax.lax.broadcasted_iota(jnp.int32, (w2p, w), 1)
     s_even_t = (wj == 2 * w2j).astype(jnp.float32)
     s_odd_t = (wj == 2 * w2j + 1).astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
@@ -83,21 +92,21 @@ def _packed_rb_sweeps(ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
             + jnp.dot(b, s_odd_t, precision=hi)
 
     def north0p(x):
-        return jnp.where(row[:, :w2] == 0, 0.0,
+        return jnp.where(rowp == 0, 0.0,
                          pltpu.roll(x, shift=1, axis=0))
 
     def south0p(x):
-        return jnp.where(row[:, :w2] == h - 1, 0.0,
+        return jnp.where(rowp == h - 1, 0.0,
                          pltpu.roll(x, shift=h - 1, axis=0))
 
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (h, w2), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (h, w2p), 1)
 
     def west0p(x):
         return jnp.where(col2 == 0, 0.0, pltpu.roll(x, shift=1, axis=1))
 
     def east0p(x):
-        return jnp.where(col2 == w2 - 1, 0.0,
-                         pltpu.roll(x, shift=w2 - 1, axis=1))
+        return jnp.where(col2 >= w2 - 1, 0.0,
+                         pltpu.roll(x, shift=w2p - 1, axis=1))
 
     whR, whB = pack(wh)
     wvR, wvB = pack(wv)
@@ -111,7 +120,7 @@ def _packed_rb_sweeps(ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
     B1R, B1B = pack(ndu_ref[0])
     B2R, B2B = pack(ndv_ref[0])
     if du0 is None:
-        duR = duB = dvR = dvB = jnp.zeros((h, w2), jnp.float32)
+        duR = duB = dvR = dvB = jnp.zeros((h, w2p), jnp.float32)
     else:
         duR, duB = pack(du0)
         dvR, dvB = pack(dv0)
@@ -278,7 +287,7 @@ def _solve_kernel(uu_ref, vv_ref, dpsis_ref, a11_ref, a12_ref, a22_ref,
 
     if packed_rb and w % 2 == 0:
         du, dv = _packed_rb_sweeps(
-            ndu_ref, ndv_ref, wh, wv, i11, i12, i22, row, h, w,
+            ndu_ref, ndv_ref, wh, wv, i11, i12, i22, h, w,
             None if zero_init else du_ref[0],
             None if zero_init else dv_ref[0],
             iterations=iterations, omega=omega)
@@ -341,13 +350,10 @@ def fused_solve_step_batched(uu, vv, dpsis, a11, a12, a22, b1, b2,
 
     zero_init = du is None
     b, h, w = uu.shape
-    # packed_rb is interpret-only for now: the checkerboard-packed sweeps
-    # (bit-compatible, half the update arithmetic) CHECK-crash the current
-    # TPU compiler toolchain ("array.h:480 limits[i] <= dim(i) (2 vs 1)",
-    # reproduced with and without ref half-slices / in-kernel transposes)
-    # while the masked leg of the same program compiles — revisit on the
-    # next libtpu (tools/prof_packed.py is the ready A/B)
-    packed_rb = packed_rb and interpret
+    # packed_rb history: the first (unpadded, 240-wide) packed formulation
+    # CHECK-crashed the TPU compiler ("array.h:480 limits[i] <= dim(i)
+    # (2 vs 1)"); padding the packed axis to a lane multiple (see
+    # _packed_rb_sweeps) fixed the crash. tools/prof_packed.py is the A/B.
     kernel = partial(_solve_kernel, alpha=float(alpha), reg_pen=reg_pen,
                      method=int(method), iterations=int(iterations),
                      omega=float(omega), zero_init=zero_init,

@@ -82,15 +82,15 @@ class MultiFrameParams:
                                             # see docs/PROFILING.md round 4
     packed_sor: bool | None = None          # checkerboard-PACKED red-black
                                             # sweeps inside the fused solve
-                                            # kernel: each color dense in
-                                            # [H, W/2], no discarded half of
+                                            # kernel: each color dense in a
+                                            # lane-aligned [H, pad128(W/2)]
+                                            # plane, no discarded half of
                                             # the update math; same fixed
-                                            # point to ~1 ulp/sweep.
-                                            # Interpret-only for now — the
-                                            # current TPU compiler CHECK-
-                                            # crashes on the packed program
-                                            # (see fused_solve.py); cfg
-                                            # slow_flow_packed_sor
+                                            # point to ~1 ulp/sweep (the
+                                            # padding dodges the Mosaic
+                                            # CHECK-crash of the unpadded
+                                            # 240-wide form — fused_solve.py)
+                                            # cfg slow_flow_packed_sor
     self_mask: bool | None = None           # merged kernel derives the
                                             # per-offset validity masks from
                                             # its own warp coordinates and

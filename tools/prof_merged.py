@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="solve sweep over batch x {unroll, jet_vmap} x "
                          "{merge_warp off/on}; picks the jets/s champion")
+    ap.add_argument("--unroll-sweep", type=str, default="",
+                    help="comma-separated unroll batch sizes to sweep at "
+                         "the champion kernel config (merge_warp on), e.g. "
+                         "'3,5,6'; updates the champion record if beaten")
     args = ap.parse_args()
 
     import jax
@@ -135,6 +139,41 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    if args.unroll_sweep:
+        import json
+
+        champ_path = REPO / "tools" / "solve_champion_measured.json"
+        best_rec = None
+        if champ_path.exists():
+            with open(champ_path) as fh:
+                best_rec = json.load(fh)
+        best = best_rec.get("jets_per_sec", 0.0) if best_rec else 0.0
+        print(f"incumbent: {best_rec} ")
+        for b in (int(x) for x in args.unroll_sweep.split(",")):
+            pv = replace(p, merge_warp=True, jet_vmap=False,
+                         unroll_jets=True)
+            try:
+                t = time_solve(b, pv, repeats=3)
+            except Exception as e:
+                print(f"b{b:<2} unroll merge=1: FAILED {repr(e)[:100]}")
+                continue
+            jps = b / t
+            print(f"b{b:<2} unroll merge=1: {t:6.3f} s/batch "
+                  f"{jps:5.2f} jets/s", flush=True)
+            if jps > best:
+                best = jps
+                best_rec = {"batch": b, "mode": "unroll", "merge_warp": True,
+                            "jets_per_sec": round(jps, 3)}
+        if best_rec is not None:
+            print(f"champion: {best_rec}")
+            for path in ("/tmp/solve_champion.json", str(champ_path)):
+                try:
+                    with open(path, "w") as fh:
+                        json.dump(best_rec, fh)
+                except OSError:
+                    pass
+        return
+
     if args.sweep:
         # the batched custom_vmap kernels flatten the jet batch into the
         # strip grid — larger batches amortize per-kernel latency, which the
@@ -145,7 +184,8 @@ def main():
         # so big-batch vmap rows are dropped from the default sweep.
         best = (None, 0.0)
         for merge in (False, True):
-            for mode, batches in (("unroll", (4,)), ("vmap", (4,))):
+            for mode, batches in (("unroll", (3, 4, 5, 6) if merge
+                                   else (4,)), ("vmap", (4,))):
                 for b in batches:
                     pv = replace(p, merge_warp=merge,
                                  jet_vmap=(mode == "vmap"),
