@@ -4,6 +4,19 @@
 # be process-start environment variables — conftest.py alone cannot set them
 # on hosts with that sitecustomize. The multi-device mesh test skips without
 # them; everything else is env-agnostic.
+#
+# Tiers: default = fast tier (skips tests marked `slow`); `--all` runs the
+# full suite including the multi-minute interpret-mode kernel-equivalence
+# tests. Tests marked `nocache` disable the JAX persistent compilation cache
+# around their body (conftest fixture) — the cache writer segfaults natively
+# on the huge merged-warp executables on this host (round-4 verdict root
+# cause), so those compiles must never hit the persistent cache.
+if [ "$1" = "--all" ]; then
+    shift
+    set -- "$@"
+else
+    set -- -m "not slow" "$@"
+fi
 exec env \
     JAX_PLATFORMS=cpu \
     PALLAS_AXON_POOL_IPS= \

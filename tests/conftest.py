@@ -32,6 +32,36 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute interpret-mode kernel-equivalence tests; "
+        "excluded from the default fast tier (run_tests.sh --all)")
+    config.addinivalue_line(
+        "markers",
+        "nocache: disable the JAX persistent compilation cache for this "
+        "test. The cache WRITE (compilation_cache.put_executable_and_time, "
+        "zstandard serialization) segfaults natively on the huge merged-warp "
+        "executables on this host; the same compiles pass with the cache "
+        "off (round-4 verdict root cause).")
+
+
+@pytest.fixture(autouse=True)
+def _nocache_compilation(request):
+    """For tests marked `nocache`, turn the persistent compilation cache off
+    around the test body and restore it afterwards. jax checks the config at
+    each compile, so a runtime update is sufficient."""
+    if request.node.get_closest_marker("nocache") is None:
+        yield
+        return
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

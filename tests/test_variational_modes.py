@@ -117,6 +117,9 @@ def test_batch_path_equivalence():
     assert (np.asarray(occ_u) != np.asarray(occ_v)).mean() < 0.01
 
 
+@pytest.mark.slow
+@pytest.mark.nocache  # the merged-warp full-solve executable segfaults the
+# persistent compilation-cache writer on this host (verdict r4 root cause)
 def test_merge_warp_full_solve_equivalence():
     """The merged warp+assembly kernel (merge_warp=True, fused_warp.py)
     drives the full coarse-to-fine solve to the same flow as the two-kernel
