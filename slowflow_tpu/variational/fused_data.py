@@ -118,13 +118,29 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
     zero_duv: STATIC promise that du == dv == 0 (true on every call when
     niter_inner == 1, the production config: the inner while evaluates the
     data terms exactly once, at the zero increment) — elides the
-    linearization FMAs, which XLA cannot do for runtime zeros."""
+    linearization FMAs, which XLA cannot do for runtime zeros.
+
+    mode="occ_assembly": ONE pass produces the occlusion data costs AND the
+    normal-equation planes split into past/future partial sums — 12 planes
+    (e0, e1, a11_b..b2_b, a11_f..b2_f). The occlusion/direction gate of
+    compute_one_level.gate_masks (variational_mt.cpp:292-320) multiplies the
+    per-offset data weight LINEARLY and takes one value per (pixel,
+    past|future) group, so the caller can apply it after the discrete
+    occlusion update:  a11 = backward*a11_b + forward*a11_f.  This is what
+    lets ONE warp+derivative evaluation serve both the occlusion MRF costs
+    (variational_aux_mt.cpp:784-858) and the first outer iteration's IRLS
+    assembly — the two previously separate dispatches re-warped the same
+    frames at the same linearization point. Requires zero_duv (the combined
+    evaluation sits at the alternation top, before any increment) and no
+    one_direction (that path never runs occlusion reasoning)."""
     ref = p.ref
     n = 2 * ref
     color_pen, grad_pen, _ = p.penalties()
     rho_w, omega_w, fac_w = _succ_ref_weights(p)
     hd = p.delta / 3.0
     hg = p.gamma / 3.0
+    if mode == "occ_assembly":
+        assert zero_duv and not p.one_direction, (zero_duv, p.one_direction)
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -139,6 +155,14 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
 
     if mode == "assembly":
         acc = [jnp.zeros((r, wp), jnp.float32) for _ in range(5)]
+    elif mode == "occ_assembly":
+        # past/future system accumulators + occlusion-cost accumulators
+        acc_groups = [[jnp.zeros((r, wp), jnp.float32) for _ in range(5)]
+                      for _ in range(2)]
+        e0 = jnp.zeros((r, wp), jnp.float32)
+        e1 = jnp.zeros((r, wp), jnp.float32)
+        n0 = jnp.zeros((r, wp), jnp.float32)
+        n1 = jnp.zeros((r, wp), jnp.float32)
     else:
         e0 = jnp.zeros((r, wp), jnp.float32)
         e1 = jnp.zeros((r, wp), jnp.float32)
@@ -218,6 +242,33 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
         if cropped[0] is not None:
             (ix, iy, izf, ixx, ixy, iyy, ixz, iyz) = cropped[0]
         sref = cropped[1]
+
+        if mode == "occ_assembly":
+            # occlusion data costs from the SAME cropped derivative planes
+            # the assembly below consumes (izf/ixz/iyz are the occ-mode
+            # stacks, identical values and op order)
+            term = jnp.zeros((r, wp), jnp.float32)
+            if succ_on:
+                term = (term
+                        + rs * hd * mask
+                        * color_pen.apply((izf ** 2).sum(0))
+                        + rs * hg * mask
+                        * grad_pen.apply((ixz ** 2 + iyz ** 2).sum(0)))
+            if ref_on:
+                izr_, ixzr_, iyzr_ = sref[2], sref[6], sref[7]
+                term = (term
+                        + os_ * hd * mask
+                        * color_pen.apply((izr_ ** 2).sum(0))
+                        + os_ * hg * mask
+                        * grad_pen.apply((ixzr_ ** 2 + iyzr_ ** 2).sum(0)))
+            contrib = mask * (2.0 * rs + 2.0 * os_)
+            if s >= ref:     # future terms score label 0 (occluded in past)
+                e0 = e0 + term
+                n0 = n0 + contrib
+            else:
+                e1 = e1 + term
+                n1 = n1 + contrib
+            acc = acc_groups[1 if s >= ref else 0]
 
         a11, a12, a22, b1, b2 = acc
         # ---- successive data term (jacobian -Ix, -Iy) ----
@@ -306,13 +357,18 @@ def assemble_from_windows(wext, mask_full, du, dv, cw, *,
             a22 = a22 + (c2 * facsq * iyyr * iyyr
                          + c1 * facsq * ixyr * ixyr).sum(0)
         acc = [a11, a12, a22, b1, b2]
+        if mode == "occ_assembly":
+            acc_groups[1 if s >= ref else 0] = acc
 
     if mode == "assembly":
         return acc
     n0 = jnp.where(n0 == 0, 1.0, n0)
     n1 = jnp.where(n1 == 0, 1.0, n1)
-    return [DT_SCALE_GRAPHC * e0 / n0,
-            DT_SCALE_GRAPHC * e1 / n1 + p.occlusion_penalty]
+    occ_costs = [DT_SCALE_GRAPHC * e0 / n0,
+                 DT_SCALE_GRAPHC * e1 / n1 + p.occlusion_penalty]
+    if mode == "occ_assembly":
+        return occ_costs + acc_groups[0] + acc_groups[1]
+    return occ_costs
 
 
 def _kernel(w_ref, mask_ref, du_ref, dv_ref, cw_ref, *out_refs,
@@ -378,7 +434,7 @@ def fused_data_system_batched(warped, mask, du, dv, channel_w, p,
 
     pspec = pl.BlockSpec((1, r, wp), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM)
-    n_out = 5 if mode == "assembly" else 2
+    n_out = {"assembly": 5, "occ": 2, "occ_assembly": 12}[mode]
     outs = pl.pallas_call(
         partial(_kernel, p=p, mode=mode, r=r, wp=wp, w_img=w, h_img=h,
                 n_r=n_r, zero_duv=zero_duv),

@@ -352,7 +352,7 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
     cw_p = padp(cw).reshape(b, c, n_r, r, wp) \
         .transpose(0, 2, 1, 3, 4).reshape(nb, c, r, wp)
 
-    n_out = 5 if mode == "assembly" else 2
+    n_out = {"assembly": 5, "occ": 2, "occ_assembly": 12}[mode]
     pspec = pl.BlockSpec((1, r, wp), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM)
     jspec = pl.BlockSpec((1, hpf, wp), lambda s, n_r=n_r: (s // n_r, 0, 0),
@@ -427,7 +427,8 @@ def fused_warp_data_batched(seq, wx, wy, mask, du, dv, cw, p,
         else:
             eff_mask = mask
         return fused_data_system_batched(warped, eff_mask, du, dv, cw, p,
-                                         mode=mode, interpret=interpret)
+                                         mode=mode, interpret=interpret,
+                                         zero_duv=zero_duv)
 
     branches = [make_branch(kin, kout) for kin, kout in ladder]
     return jax.lax.switch(sel, branches + [fallback], None)

@@ -103,6 +103,25 @@ class MultiFrameParams:
                                             # bit-identical —
                                             # tools/prof_selfmask.py); cfg
                                             # slow_flow_self_mask
+    fuse_occ: bool | None = None            # ONE merged dispatch per
+                                            # alternation produces the
+                                            # occlusion data costs AND the
+                                            # first outer iteration's normal
+                                            # equations (past/future partial
+                                            # sums, occlusion gate applied
+                                            # post-ICM in XLA — it factors
+                                            # linearly out of the data
+                                            # weights). Kills the separate
+                                            # occ-cost dispatch that re-
+                                            # warped the same frames at the
+                                            # same linearization point (the
+                                            # ~32% occlusion share of
+                                            # tools/prof_solve_ablate.py).
+                                            # Needs the self-mask merged
+                                            # route, occlusion_reasoning,
+                                            # niter_inner == 1. None = auto:
+                                            # ON for TPU; cfg knob
+                                            # slow_flow_fuse_occ
     strip_r: int = 0                        # strip height of the merged
                                             # warp+assembly kernel's grid
                                             # (0 = R_STRIP). A pure grid
@@ -181,6 +200,13 @@ class MultiFrameParams:
         if self.self_mask is None:
             return jax.default_backend() != "cpu"
         return self.self_mask
+
+    def fuse_occ_on(self) -> bool:
+        """Resolve the tri-state fuse_occ (auto = TPU only, like merge_warp;
+        explicit True is honored on CPU for the interpret-mode tests)."""
+        if self.fuse_occ is None:
+            return jax.default_backend() != "cpu"
+        return self.fuse_occ
 
     def fused_solve_on(self, h: int, w: int) -> bool:
         """Resolve the tri-state fused_solve for an h x w level.
@@ -285,6 +311,8 @@ class MultiFrameParams:
                          if params.exists("slow_flow_fused_solve") else None),
             self_mask=(params.parameter("slow_flow_self_mask", type=bool)
                        if params.exists("slow_flow_self_mask") else None),
+            fuse_occ=(params.parameter("slow_flow_fuse_occ", type=bool)
+                      if params.exists("slow_flow_fuse_occ") else None),
             packed_sor=(params.parameter("slow_flow_packed_sor", type=bool)
                         if params.exists("slow_flow_packed_sor") else None),
             strip_r=params.parameter("slow_flow_strip_r", "0", int),
@@ -356,7 +384,7 @@ def _fused_warp_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
         return _cache[key]
     from .fused_warp import R_STRIP, fused_warp_data, fused_warp_data_batched
 
-    n_out = 5 if mode == "assembly" else 2
+    n_out = {"assembly": 5, "occ": 2, "occ_assembly": 12}[mode]
     r = p.strip_r or R_STRIP
 
     if self_mask:
@@ -403,7 +431,7 @@ def _fused_data_cv(p, mode: str, interpret: bool, zero_duv: bool = False,
         return _cache[key]
     from .fused_data import fused_data_system, fused_data_system_batched
 
-    n_out = 5 if mode == "assembly" else 2
+    n_out = {"assembly": 5, "occ": 2, "occ_assembly": 12}[mode]
 
     @custom_vmap
     def fn(warped, mask, du, dv, cw):
@@ -921,6 +949,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
     # the linearization-point flow itself, and one kernel (fused_warp.py)
     # warps in VMEM and assembles in a single dispatch.
     gate_fn = None
+    occ_sys_fn = None
     if (p.fused_data and p.merge_warp_on() and not p.pallas_warp
             and p.warp_mode == "shift" and p.self_mask_on()):
         # self-masking merged route: the state is the flow alone — the
@@ -941,6 +970,16 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             wxc, wyc = state
             z = jnp.zeros_like(wxc)
             return _fused_warp_cv(p, "occ", interp, self_mask=True)(
+                seq, wxc, wyc, z, z, z, channel_w)
+
+        def occ_sys_fn(state):
+            """Combined occ-costs + first-iteration assembly: one dispatch
+            returns (e0, e1, 5 past-system planes, 5 future-system planes);
+            the occlusion gate is applied after the discrete update."""
+            wxc, wyc = state
+            z = jnp.zeros_like(wxc)
+            return _fused_warp_cv(p, "occ_assembly", interp, zero_duv=True,
+                                  self_mask=True)(
                 seq, wxc, wyc, z, z, z, channel_w)
 
         def data_terms_fn(state, du, dv, gated):
@@ -1017,6 +1056,37 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
             succ, to_ref, _ = state
             return add_data_terms(du, dv, gated, succ, to_ref, channel_w, p)
 
+    def solve_system(uu, vv, du, dv, a11, a12, a22, b1, b2, zero_init):
+        """Smoothness + laplacian + SOR on an assembled system. Returns
+        (ndu, ndv, sums): sums is the in-kernel (sum|du|, sum|dv|) pair of
+        the fused solve (None on the composed path). zero_init is the
+        STATIC promise du == dv == 0."""
+        sums = None
+        if p.fused_solve_on(*uu.shape[-2:]):
+            interp_fs = jax.default_backend() == "cpu"
+            if zero_init:            # du == dv == 0, statically
+                ndu, ndv, sums = _fused_solve_cv(
+                    p, interp_fs, zero_init=True, with_change=True)(
+                    uu, vv, dpsis_weight, a11, a12, a22, b1, b2)
+            else:
+                ndu, ndv = _fused_solve_cv(p, interp_fs)(
+                    uu, vv, dpsis_weight, a11, a12, a22, b1, b2, du, dv)
+        else:
+            wh, wv = compute_smoothness_mt(uu, vv, dpsis_weight, p.alpha,
+                                           reg_pen, p.smoothing)
+            b1 = sub_laplacian(b1, uu, wh, wv)
+            b2 = sub_laplacian(b2, vv, wh, wv)
+            if p.pallas_sor_on(*uu.shape[-2:]):
+                from ..core.solver_pallas import sor_coupled_rb_pallas
+                ndu, ndv = sor_coupled_rb_pallas(
+                    du, dv, a11, a12, a22, b1, b2, wh, wv,
+                    iterations=p.niter_solver, omega=p.sor_omega)
+            else:
+                ndu, ndv = sor_coupled_rb(
+                    du, dv, a11, a12, a22, b1, b2, wh, wv,
+                    iterations=p.niter_solver, omega=p.sor_omega)
+        return ndu, ndv, sums
+
     def inner_loop(wx0, wy0, uu, vv, gated, state):
         """Returns (uu, vv, change). With niter_inner == 1 the returned
         change is the du-space increment magnitude max(sum|du|, sum|dv|)/hw,
@@ -1033,30 +1103,8 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
         def body(c):
             du, dv, uu, vv, it, _ = c
             a11, a12, a22, b1, b2 = data_terms_fn(state, du, dv, gated)
-            sums = None
-            if p.fused_solve_on(*wx0.shape[-2:]):
-                interp_fs = jax.default_backend() == "cpu"
-                if p.niter_inner == 1:   # du == dv == 0, statically
-                    ndu, ndv, sums = _fused_solve_cv(
-                        p, interp_fs, zero_init=True, with_change=True)(
-                        uu, vv, dpsis_weight, a11, a12, a22, b1, b2)
-                else:
-                    ndu, ndv = _fused_solve_cv(p, interp_fs)(
-                        uu, vv, dpsis_weight, a11, a12, a22, b1, b2, du, dv)
-            else:
-                wh, wv = compute_smoothness_mt(uu, vv, dpsis_weight, p.alpha,
-                                               reg_pen, p.smoothing)
-                b1 = sub_laplacian(b1, uu, wh, wv)
-                b2 = sub_laplacian(b2, vv, wh, wv)
-                if p.pallas_sor_on(*wx0.shape[-2:]):
-                    from ..core.solver_pallas import sor_coupled_rb_pallas
-                    ndu, ndv = sor_coupled_rb_pallas(
-                        du, dv, a11, a12, a22, b1, b2, wh, wv,
-                        iterations=p.niter_solver, omega=p.sor_omega)
-                else:
-                    ndu, ndv = sor_coupled_rb(
-                        du, dv, a11, a12, a22, b1, b2, wh, wv,
-                        iterations=p.niter_solver, omega=p.sor_omega)
+            ndu, ndv, sums = solve_system(uu, vv, du, dv, a11, a12, a22,
+                                          b1, b2, p.niter_inner == 1)
             if sums is None:
                 change = jnp.maximum(jnp.abs(ndu - du).sum(),
                                      jnp.abs(ndv - dv).sum()) / hw
@@ -1070,10 +1118,16 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                          jnp.float32(jnp.inf)))
         return uu, vv, change
 
-    def outer_loop(wx, wy, occ, state):
+    def outer_loop(wx, wy, occ, state, first_sys=None):
         """Derivatives are computed once per *executed* iteration (the
         alternation-top stacks serve iteration 0, matching the reference's
-        reuse at variational_mt.cpp:266,289-290)."""
+        reuse at variational_mt.cpp:266,289-290).
+
+        first_sys: the already-assembled (a11, a12, a22, b1, b2) for
+        iteration 0 (the fuse_occ combined dispatch produced it together
+        with the occlusion costs) — iteration 0 is peeled out of the loop
+        and solves it directly, skipping its own assembly dispatch. Only
+        valid with niter_inner == 1 (the system sits at du = dv = 0)."""
 
         def cond(c):
             wx, wy, state, it, change = c
@@ -1107,19 +1161,79 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                     (uu, vv, state))
             return uu, vv, state, it + jnp.int32(1), change
 
-        wx, wy, _, _, change = jax.lax.while_loop(
-            cond, body, (wx, wy, state, jnp.int32(0), jnp.float32(jnp.inf)))
+        if first_sys is None:
+            init = (wx, wy, state, jnp.int32(0), jnp.float32(jnp.inf))
+        else:
+            # peeled iteration 0: solve the precomputed system directly
+            # (same arithmetic the loop body would run — data_terms_fn at
+            # du = dv = 0 with the post-ICM gate already folded in)
+            z = jnp.zeros_like(wx)
+            ndu, ndv, sums = solve_system(wx, wy, z, z, *first_sys, True)
+            if sums is None:
+                change = jnp.maximum(jnp.abs(ndu).sum(),
+                                     jnp.abs(ndv).sum()) / hw
+            else:
+                change = jnp.maximum(sums[0], sums[1]) / hw
+            change = jnp.float32(change)
+            uu, vv = wx + ndu, wy + ndv
+            if p.jet_vmap:
+                state = derive_state(uu, vv)
+            else:
+                cont = (1 < p.niter_outer) & (change >= p.thres_outer)
+                state = jax.lax.cond(
+                    cont,
+                    lambda a: derive_state(a[0], a[1]),
+                    lambda a: a[2],
+                    (uu, vv, state))
+            init = (uu, vv, state, jnp.int32(1), change)
+        wx, wy, _, _, change = jax.lax.while_loop(cond, body, init)
         return wx, wy, change
 
     def alter_cond(carry):
         wx, wy, occ, it, done = carry
         return (it < p.niter_alter) & jnp.logical_not(done)
 
+    # the combined occ+assembly dispatch: one kernel per alternation serves
+    # both the discrete step's data costs and the first outer iteration's
+    # normal equations (they warp the same frames at the same linearization
+    # point — previously two full dispatches, the single largest ablatable
+    # share of the solve; tools/prof_solve_ablate.py r4)
+    fuse_occ_route = (occ_sys_fn is not None and p.fuse_occ_on()
+                      and p.occlusion_reasoning and not p.one_direction
+                      and p.niter_inner == 1)
+
     def alter_body(carry):
         wx, wy, occ, it, _ = carry
         state = derive_state(wx, wy)
         occ_stable = jnp.bool_(True)
-        if p.occlusion_reasoning and not p.one_direction:
+        first_sys = None
+        if fuse_occ_route:
+            outs = occ_sys_fn(state)
+            e0, e1 = outs[0], outs[1]
+            sys_b, sys_f = outs[2:7], outs[7:12]
+
+            def occ_update(args):
+                e0, e1, occ = args
+                lab = solve_binary_potts(e0, e1, p.occlusion_alpha,
+                                         p.niter_graphc)
+                return 2.0 * lab - 1.0
+
+            if p.jet_vmap:
+                new_occ = jnp.where(it > 0, occ_update((e0, e1, occ)), occ)
+            else:
+                new_occ = jax.lax.cond(it > 0, occ_update, lambda a: a[2],
+                                       (e0, e1, occ))
+            occ_stable = (it > 0) & jnp.all(new_occ == occ)
+            occ = new_occ
+            # occlusion/direction gate (gate_masks semantics) applied to the
+            # past/future partial systems — it multiplies the per-offset
+            # data weight linearly and is constant within each group
+            factor = (1.0 + (occ == 0.0)) * data_norm
+            backward = (occ >= 0.0) / factor
+            forward = (occ <= 0.0) / factor
+            first_sys = tuple(backward * sb + forward * sf
+                              for sb, sf in zip(sys_b, sys_f))
+        elif p.occlusion_reasoning and not p.one_direction:
             def occ_update(args):
                 state, occ = args
                 e0, e1 = occ_costs_fn(state)
@@ -1138,7 +1252,7 @@ def compute_one_level(wx, wy, seq, channel_w, norm_avg, norm_std,
                                        (state, occ))
             occ_stable = (it > 0) & jnp.all(new_occ == occ)
             occ = new_occ
-        wx, wy, change = outer_loop(wx, wy, occ, state)
+        wx, wy, change = outer_loop(wx, wy, occ, state, first_sys)
         # fixed-point exit: the reference runs all niter_alter alternations
         # unconditionally, but once the occlusion labels repeat and the
         # continuous solve moves below thres_outer, further alternations

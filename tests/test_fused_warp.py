@@ -126,6 +126,8 @@ def test_self_mask_matches_explicit(flow_scale, bias):
                                    rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.nocache  # full merged-warp solve: the persistent compilation-
+# cache write of this executable class segfaults on this host (verdict r4)
 def test_self_mask_full_solve_equivalence():
     """variational_mt with self_mask=True must match the default route."""
     from dataclasses import replace
@@ -193,3 +195,62 @@ def test_merged_occ_mode_masks_raw():
                              P, mode="occ", interpret=True)
     assert np.isfinite(np.asarray(e0)).all()
     assert np.isfinite(np.asarray(e1)).all()
+
+
+def test_occ_assembly_mode_equivalence():
+    """The combined occ_assembly mode (one dispatch per alternation) must
+    reproduce the occ-mode costs BITWISE (identical op order on the same
+    derivative planes) and, after post-hoc gating, the assembly-mode system
+    to float-reassociation level — the occlusion gate multiplies the data
+    weight linearly and is constant per past/future group
+    (compute_one_level.gate_masks, variational_mt.cpp:292-320)."""
+    rng = np.random.default_rng(13)
+    h, w = 40, 48
+    seq, wx, wy, _, du, dv, cw = _problem(h, w, 0.4, seed=13,
+                                          flow_bias=(0.8, -0.4))
+    z = jnp.zeros((h, w), jnp.float32)
+    occ = jnp.asarray(rng.choice([-1.0, 0.0, 1.0], (h, w)), jnp.float32)
+
+    outs = fused_warp_data(seq, wx, wy, None, z, z, cw, P,
+                           mode="occ_assembly", interpret=True,
+                           zero_duv=True, occ=z)
+    e0c, e1c = outs[0], outs[1]
+    sys_b, sys_f = outs[2:7], outs[7:12]
+
+    e0, e1 = fused_warp_data(seq, wx, wy, None, z, z, cw, P, mode="occ",
+                             interpret=True, occ=z)
+    np.testing.assert_array_equal(np.asarray(e0c), np.asarray(e0))
+    np.testing.assert_array_equal(np.asarray(e1c), np.asarray(e1))
+
+    asm = fused_warp_data(seq, wx, wy, None, z, z, cw, P, mode="assembly",
+                          interpret=True, zero_duv=True, occ=occ)
+    data_norm = float(sum(P.rho[s] + P.omega[s] for s in range(P.ref)))
+    factor = (1.0 + (occ == 0.0)) * data_norm
+    backward = (occ >= 0.0) / factor
+    forward = (occ <= 0.0) / factor
+    for i, name in enumerate(("a11", "a12", "a22", "b1", "b2")):
+        comb = backward * sys_b[i] + forward * sys_f[i]
+        np.testing.assert_allclose(np.asarray(comb), np.asarray(asm[i]),
+                                   rtol=2e-5, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.nocache  # compiles merged-warp full-solve executables (the
+# persistent compilation-cache writer segfaults on this class; verdict r4)
+def test_fuse_occ_full_solve_equivalence():
+    """variational_mt with fuse_occ=True (combined occ+assembly dispatch +
+    peeled first outer iteration) must match the fuse_occ=False route."""
+    from dataclasses import replace
+
+    from slowflow_tpu.variational.multiframe import variational_mt
+
+    h, w = 32, 40
+    rng = np.random.default_rng(11)
+    seq = jnp.asarray(rng.random((5, 3, h, w)).astype(np.float32))
+    p = replace(P, layers=2, niter_alter=2, niter_outer=3, niter_solver=6,
+                merge_warp=True, self_mask=True, fuse_occ=False)
+    wx = jnp.zeros((h, w), jnp.float32)
+    base = variational_mt(wx, wx, seq, p)
+    fused = variational_mt(wx, wx, seq, replace(p, fuse_occ=True))
+    np.testing.assert_allclose(fused[0], base[0], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(fused[1], base[1], rtol=0, atol=1e-4)
+    assert (np.asarray(fused[2]) != np.asarray(base[2])).mean() < 0.01
