@@ -108,8 +108,14 @@ def tpu_jets_per_sec(batch, h, w, p, repeats=7):
         t0 = time.perf_counter()
         run(3)
         times3.append(time.perf_counter() - t0)
-    best = min(min(times), min(times3) / 3)
-    return batch / best, best, err
+    # both methodologies are reported separately in the JSON (the headline
+    # takes the better one, tagged): per-dispatch pays one dispatch+fetch
+    # round trip per batch; pipelined-k3 amortizes it over 3 enqueued
+    # executions, the steady state the CLIs run in
+    t_single = min(times)
+    t_pipe = min(times3) / 3
+    return batch / min(t_single, t_pipe), min(t_single, t_pipe), err, \
+        batch / t_single, batch / t_pipe
 
 
 def cpu_baseline_jets_per_sec(h, w, p, repeats=3):
@@ -329,12 +335,15 @@ def main():
                        if "strip_r" in champion else {}),
                     **({"self_mask": champion["self_mask"]}
                        if "self_mask" in champion else {}),
+                    **({"fuse_occ": champion["fuse_occ"]}
+                       if "fuse_occ" in champion else {}),
                     **({"packed_sor": champion["packed_sor"]}
                        if "packed_sor" in champion else {}))
         if not args.batch:
             batch = champion["batch"]
 
-    jps, wall, flow_err = tpu_jets_per_sec(batch, h, w, p)
+    jps, wall, flow_err, jps_single, jps_pipe = tpu_jets_per_sec(
+        batch, h, w, p)
     # Baseline convention (explicit): the denominator is the MEASURED
     # per-jet wall-clock of the reference's own variational_mt.cpp+solver.c
     # (unmodified, -O3 -msse4) on this exact workload, single thread — the
@@ -374,6 +383,12 @@ def main():
         "flow_recovery_err_px": round(flow_err, 3),
         "batch": batch, "height": h, "width": w,
         "wall_s_per_batch": round(wall, 3),
+        # both measurement methodologies on the record (the headline value
+        # is their max, tagged here — see tpu_jets_per_sec)
+        "jets_per_sec_single_dispatch": round(jps_single, 3),
+        "jets_per_sec_pipelined_k3": round(jps_pipe, 3),
+        "value_method": ("pipelined_k3" if jps_pipe >= jps_single
+                         else "single_dispatch"),
     }
     if champion:
         out["solve_config"] = champion

@@ -149,9 +149,16 @@ def main():
                 best_rec = json.load(fh)
         best = best_rec.get("jets_per_sec", 0.0) if best_rec else 0.0
         print(f"incumbent: {best_rec} ")
+        # measure at the incumbent's kernel-route flags (not bare defaults):
+        # otherwise the jps comparison crosses kernel configs and a winning
+        # record would silently drop the incumbent's knobs in bench.py
+        route = {k: best_rec[k] for k in ("fused_solve", "self_mask",
+                                          "packed_sor", "pallas_sor",
+                                          "strip_r", "fuse_occ")
+                 if best_rec and k in best_rec}
         for b in (int(x) for x in args.unroll_sweep.split(",")):
             pv = replace(p, merge_warp=True, jet_vmap=False,
-                         unroll_jets=True)
+                         unroll_jets=True, **route)
             try:
                 t = time_solve(b, pv, repeats=3)
             except Exception as e:
@@ -162,7 +169,14 @@ def main():
                   f"{jps:5.2f} jets/s", flush=True)
             if jps > best:
                 best = jps
-                best_rec = {"batch": b, "mode": "unroll", "merge_warp": True,
+                # merge into the incumbent record (incumbent | new): the
+                # sweep measures at the incumbent's kernel-route flags
+                # (replace() above only touches batch/mode/merge_warp), so
+                # knobs like fused_solve/self_mask/packed_sor recorded by
+                # other tools must carry over — dropping them would silently
+                # reset bench.py to defaults
+                best_rec = {**(best_rec or {}),
+                            "batch": b, "mode": "unroll", "merge_warp": True,
                             "jets_per_sec": round(jps, 3)}
         if best_rec is not None:
             print(f"champion: {best_rec}")

@@ -76,12 +76,25 @@ def main():
         print(f"solve b{b} champion {label}: {t:6.3f} s/batch "
               f"{b / t:5.2f} jets/s", flush=True)
 
+    # NUMERIC gate before any champion promotion: compiled-vs-compiled
+    # packed numerics rest entirely on this A/B (CI validates the packed
+    # path in interpret mode only), so a chip-side regression must not be
+    # promotable on speed alone
+    NUMERIC_TOL = 1e-3          # px; packed RB is bit-identical in theory,
+    #                             ~1 ulp/sweep in practice
+    d = None
     if len(flows) == 2:
-        d = np.abs(flows["packed=1"] - flows["packed=0"]).max()
+        d = float(np.abs(flows["packed=1"] - flows["packed=0"]).max())
         print(f"max |flow diff| packed on/off: {d:.2e}", flush=True)
     if args.save and jps.get("packed=1", 0) > jps.get("packed=0", 1e9):
+        if d is None or d > NUMERIC_TOL:
+            print(f"NOT promoting packed champion: max |flow diff| "
+                  f"{d} exceeds {NUMERIC_TOL} (or baseline failed)",
+                  flush=True)
+            return
         rec = {"batch": b, "mode": "unroll", "merge_warp": True,
                "fused_solve": True, "self_mask": True, "packed_sor": True,
+               "max_flow_diff_vs_masked": d,
                "jets_per_sec": round(jps["packed=1"], 3)}
         with open(args.save, "w") as fh:
             json.dump(rec, fh)
