@@ -288,12 +288,15 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
 
     red_loc = cfg.split_parameter("raw_red_loc", "0,0")
 
+    from ..utils.phases import phase as _phase_rd
+
     # ------------------------------------------------------ read the window
     seq = {}
     for f in range(start_f, end_f):
         path = frame_path(cfg.file, fmt, start, (f - ref) * skip, sintel)
         print(f"Reading {path}...")
-        seq[f] = load_frame(path, cfg, scale, red_loc)
+        with _phase_rd("sf.read_frames"):
+            seq[f] = load_frame(path, cfg, scale, red_loc)
         if cfg.verbosity(Verbosity.WRITE_FILES):
             out = frame_path(cfg.output + "sequence/", "frame_%i.png",
                              start, (f - ref) * skip, False)
@@ -373,8 +376,9 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
     pre = {}
     if enable_dm:
         order = list(range(start_f, end_f))
-        lab_all, sal_all, edges_all = _preprocess_frames(
-            np.stack([seq8[f] for f in order]))
+        with _phase_rd("sf.preprocess_frames"):
+            lab_all, sal_all, edges_all = _preprocess_frames(
+                np.stack([seq8[f] for f in order]))
         pre = {f: i for i, f in enumerate(order)}
 
     def _jet_frames(j, backward):
@@ -435,6 +439,8 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..utils.phases import phase, report as phase_report
+
     def compute_inits(group, backward):
         """Host+small-device part of the EPIC init for one jet group; runs on
         the prefetch thread so it overlaps the previous group's device solve
@@ -443,10 +449,13 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
         single batched dispatches."""
         from ..epic import epic_batched
 
-        matches = group_matches(group, backward)
-        flows = epic_batched(epic_jobs(group, backward, matches),
-                             epic_params)
-        inits = [_epic_post(f, (h, w), steps) for f in flows]
+        with phase("sf.matches"):
+            matches = group_matches(group, backward)
+        with phase("sf.epic"):
+            flows = epic_batched(epic_jobs(group, backward, matches),
+                                 epic_params)
+        with phase("sf.epic_post"):
+            inits = [_epic_post(f, (h, w), steps) for f in flows]
         return (np.stack([ini[0] for ini in inits]),
                 np.stack([ini[1] for ini in inits]))
 
@@ -471,10 +480,12 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
     try:
         for ti, (backward, group) in enumerate(tasks):
             t0 = time.time()
-            windows = seq_dev[jnp.asarray(
-                [jet_window_idx(j, backward) for j in group])]
+            with phase("sf.window_gather"):
+                windows = seq_dev[jnp.asarray(
+                    [jet_window_idx(j, backward) for j in group])]
             if enable_dm:
-                wx0, wy0 = init_futs[ti].result()
+                with phase("sf.init_wait"):
+                    wx0, wy0 = init_futs[ti].result()
             else:
                 wx0 = np.zeros((len(group), h, w), np.float32)
                 wy0 = np.zeros((len(group), h, w), np.float32)
@@ -495,25 +506,28 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
             import jax
             args = (wx0, wy0, windows, cw, na, ns)
             n_dev = len(jax.devices())
-            if n_dev > 1 and len(group) % n_dev == 0:
-                from ..parallel.mesh import make_mesh, shard_jet_batch
-                from ..variational.multiframe import variational_mt_sharded
-                mesh = make_mesh(n_jet=n_dev, n_sp=1)
-                args = shard_jet_batch(mesh, *args)
-                wx0s, wy0s, windows_s, cws, nas, nss = args
-                wx, wy, occ = variational_mt_sharded(
-                    wx0s, wy0s, windows_s, pb, mesh, cws, nas, nss)
-            else:
-                wx, wy, occ = variational_mt_batched(wx0, wy0, windows, pb,
-                                                     cw, na, ns)
-            wx = np.asarray(wx) * steps
-            wy = np.asarray(wy) * steps
-            occ = np.asarray(occ)
+            with phase("sf.solve"):
+                if n_dev > 1 and len(group) % n_dev == 0:
+                    from ..parallel.mesh import make_mesh, shard_jet_batch
+                    from ..variational.multiframe import \
+                        variational_mt_sharded
+                    mesh = make_mesh(n_jet=n_dev, n_sp=1)
+                    args = shard_jet_batch(mesh, *args)
+                    wx0s, wy0s, windows_s, cws, nas, nss = args
+                    wx, wy, occ = variational_mt_sharded(
+                        wx0s, wy0s, windows_s, pb, mesh, cws, nas, nss)
+                else:
+                    wx, wy, occ = variational_mt_batched(
+                        wx0, wy0, windows, pb, cw, na, ns)
+                wx = np.asarray(wx) * steps
+                wy = np.asarray(wy) * steps
+                occ = np.asarray(occ)
             dt = time.time() - t0
 
             for k, j in enumerate(group):
                 out_file = output_name(j, backward)
-                write_flo(out_file, np.stack([wx[k], wy[k]], -1))
+                with phase("sf.write_flo"):
+                    write_flo(out_file, np.stack([wx[k], wy[k]], -1))
                 if not backward and j in gt:
                     from ..utils.metrics import compute_epe
                     epe = compute_epe(np.stack([wx[k], wy[k]], -1), gt[j])
@@ -527,9 +541,11 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
                         write_pbm(cfg.output + "occlusion/"
                                   f"frame_{start + j * steps * skip}.pbm",
                                   occ_img)
-                    vis = flow_color_img(wx[k], wy[k])
-                    write_image(cfg.output
-                                + f"frame_{start + j * steps * skip}.png", vis)
+                    with phase("sf.vis_png"):
+                        vis = flow_color_img(wx[k], wy[k])
+                        write_image(
+                            cfg.output
+                            + f"frame_{start + j * steps * skip}.png", vis)
                 results.append(f"{j * steps * skip}\t {dt / len(group):.1f}\n")
                 print(f"{'Backward' if backward else 'Forward'} flow jet {j} "
                       f"finished! ({dt / len(group):.1f} s)")
@@ -544,6 +560,7 @@ def _run_one_rate(cfg, fmt, fmt_flow, start, steps, ref, skip, scale, dm_scale,
                  if "\t" in r and not r.startswith("#")]
         if times:
             fh.write(f"\n\navg\t{sum(times) / len(times):.1f}s\n")
+    phase_report()
 
 
 def main(argv=None):

@@ -189,19 +189,24 @@ def dist_trf_nnfield_batched(seeds_list, cost_list, nn_list,
         sxs.append(sx)
         sys.append(sy)
 
-    cost_stack = jnp.asarray(np.stack([np.asarray(c, np.float32)
-                                       for c in cost_list]))
-    dmaps, labels = _dt_batched(cost_stack, jnp.asarray(sd),
-                                jnp.asarray(sl), max_iter)
-    both = np.asarray(jnp.concatenate(
-        [dmaps[:, None], labels.astype(jnp.float32)[:, None]], 1))
+    from ..utils.phases import phase
+
+    with phase("epic.dt_device"):
+        cost_stack = jnp.asarray(np.stack([np.asarray(c, np.float32)
+                                           for c in cost_list]))
+        dmaps, labels = _dt_batched(cost_stack, jnp.asarray(sd),
+                                    jnp.asarray(sl), max_iter)
+        both = np.asarray(jnp.concatenate(
+            [dmaps[:, None], labels.astype(jnp.float32)[:, None]], 1))
     out = []
     for b in range(B):
         dmap = both[b, 0]
         lab = both[b, 1].astype(np.int32)
         ns = len(seeds_list[b])
-        indptr, indices, data = seed_graph(lab, dmap, ns)
-        nnf, dis = knn_graph_all(indptr, indices, data, nn_list[b])
+        with phase("epic.seed_graph"):
+            indptr, indices, data = seed_graph(lab, dmap, ns)
+        with phase("epic.dijkstra"):
+            nnf, dis = knn_graph_all(indptr, indices, data, nn_list[b])
         d_at_seed = dmap[sys[b], sxs[b]]
         lab_at_seed = lab[sys[b], sxs[b]]
         best = nnf[lab_at_seed]

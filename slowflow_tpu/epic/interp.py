@@ -197,6 +197,7 @@ def epic_batched(jobs, params: EpicParams = EpicParams(),
     """
     import jax.numpy as jnp
 
+    from ..utils.phases import phase
     from .distance import dist_trf_nnfield_batched
 
     B = len(jobs)
@@ -230,18 +231,21 @@ def epic_batched(jobs, params: EpicParams = EpicParams(),
     if params.pref_nn:
         idx = [b for b in range(B) if len(state[b]["matches"]) > 1]
         if idx:
-            res = dist_trf_nnfield_batched(
-                [state[b]["matches"][:, :2].astype(np.int32) for b in idx],
-                [state[b]["edges"] for b in idx],
-                [min(params.pref_nn + 1, len(state[b]["matches"]))
-                 for b in idx], max_iter_dt)
-            for b, (nnf, dis, _, _) in zip(idx, res):
-                m = state[b]["matches"]
-                vects = m[:, 2:4] - m[:, :2]
-                disk = _kernelize(dis, params.coef_kernel)
-                est = fit_nadarayawatson(nnf, disk, vects)
-                keep = ((est - vects) ** 2).sum(1) < params.pref_th ** 2
-                state[b]["matches"] = m[keep]
+            with phase("epic.prefilter_dt"):
+                res = dist_trf_nnfield_batched(
+                    [state[b]["matches"][:, :2].astype(np.int32)
+                     for b in idx],
+                    [state[b]["edges"] for b in idx],
+                    [min(params.pref_nn + 1, len(state[b]["matches"]))
+                     for b in idx], max_iter_dt)
+            with phase("epic.prefilter_fit"):
+                for b, (nnf, dis, _, _) in zip(idx, res):
+                    m = state[b]["matches"]
+                    vects = m[:, 2:4] - m[:, :2]
+                    disk = _kernelize(dis, params.coef_kernel)
+                    est = fit_nadarayawatson(nnf, disk, vects)
+                    keep = ((est - vects) ** 2).sum(1) < params.pref_th ** 2
+                    state[b]["matches"] = m[keep]
 
     # 5. geodesic k-NN for the interpolation (one batched DT)
     flows = [None] * B
@@ -251,23 +255,28 @@ def epic_batched(jobs, params: EpicParams = EpicParams(),
             h, w = state[b]["hw"]
             flows[b] = np.zeros((h, w, 2), np.float32)
     if idx:
-        res = dist_trf_nnfield_batched(
-            [state[b]["matches"][:, :2].astype(np.int32) for b in idx],
-            [state[b]["edges"] for b in idx],
-            [min(params.nn, len(state[b]["matches"])) for b in idx],
-            max_iter_dt)
+        with phase("epic.main_dt"):
+            res = dist_trf_nnfield_batched(
+                [state[b]["matches"][:, :2].astype(np.int32) for b in idx],
+                [state[b]["edges"] for b in idx],
+                [min(params.nn, len(state[b]["matches"])) for b in idx],
+                max_iter_dt)
         for b, (nnf, dis, labels, _) in zip(idx, res):
             m = state[b]["matches"]
             h, w = state[b]["hw"]
             seeds = m[:, :2].astype(np.int32)
             vects = m[:, 2:4] - m[:, :2]
-            disk = _kernelize(dis, params.coef_kernel)
+            with phase("epic.kernelize"):
+                disk = _kernelize(dis, params.coef_kernel)
 
             # 6-7. fit + apply
             if params.method.upper() == "LA":
-                affine = fit_localaffine(nnf, disk, seeds.astype(np.float32),
-                                         vects)
-                flow = apply_localaffine(affine, labels, h, w)
+                with phase("epic.fit_la"):
+                    affine = fit_localaffine(nnf, disk,
+                                             seeds.astype(np.float32),
+                                             vects)
+                with phase("epic.apply_la"):
+                    flow = apply_localaffine(affine, labels, h, w)
             elif params.method.upper() == "NW":
                 sv = fit_nadarayawatson(nnf, disk, vects)
                 flow = apply_nadarayawatson(sv.astype(np.float32), labels)

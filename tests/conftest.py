@@ -49,17 +49,27 @@ def pytest_configure(config):
 @pytest.fixture(autouse=True)
 def _nocache_compilation(request):
     """For tests marked `nocache`, turn the persistent compilation cache off
-    around the test body and restore it afterwards. jax checks the config at
-    each compile, so a runtime update is sufficient."""
+    around the test body and restore it afterwards.
+
+    A bare config update is NOT enough: jax latches the cache decision
+    (`_cache_checked`/`_cache_used` in jax._src.compilation_cache) at the
+    first compile of the process, so the dir must be cleared AND the cache
+    singleton reset — verified to stop writes on this jax (the round-4
+    cold-suite run segfaulted in the cache writer under a config-only
+    fixture)."""
     if request.node.get_closest_marker("nocache") is None:
         yield
         return
+    from jax._src import compilation_cache as _cc
+
     prev = jax.config.jax_compilation_cache_dir
+    _cc.reset_cache()
     jax.config.update("jax_compilation_cache_dir", None)
     try:
         yield
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        _cc.reset_cache()
 
 
 @pytest.fixture
