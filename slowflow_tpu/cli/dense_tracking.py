@@ -131,6 +131,8 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
 
     stats = {"variables": [], "factors": []}
 
+    from ..utils.phases import phase, report as phase_report
+
     def prepare(start_jet):
         """Host-side context for one final pair: frame I/O, normalization,
         derivative stacks, jet-estimation ingestion, EPIC context. Runs on
@@ -151,35 +153,39 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
         # ------------------------------------------ read the image sequence
         data = []
         ok = True
-        for f in range(jets + 1):
-            p = frame_path(seq_dir, fmt, tp.sequence_start,
-                           f * steps * skip, sintel)
-            if not os.path.exists(p):
-                print(f"{p} does not exist!", file=sys.stderr)
-                ok = False
-                break
-            img = load_frame(p, tp, scale, red_loc)
-            if grayscale:
-                lum = 0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2]
-                img = np.repeat(lum[None], 3, 0)
-            data.append(img)
+        with phase("dt.read_frames"):
+            for f in range(jets + 1):
+                p = frame_path(seq_dir, fmt, tp.sequence_start,
+                               f * steps * skip, sintel)
+                if not os.path.exists(p):
+                    print(f"{p} does not exist!", file=sys.stderr)
+                    ok = False
+                    break
+                img = load_frame(p, tp, scale, red_loc)
+                if grayscale:
+                    lum = 0.299 * img[0] + 0.587 * img[1] + 0.114 * img[2]
+                    img = np.repeat(lum[None], 3, 0)
+                data.append(img)
         if not ok:
             return None
         stack = np.stack(data)                       # [J+1, 3, H, W]
         oh, ow = stack.shape[2:]
 
-        stack, avg, std = normalize_sequence(stack)
+        with phase("dt.normalize"):
+            stack, avg, std = normalize_sequence(stack)
 
         import jax.numpy as jnp
-        dx = np.asarray(conv_horiz(jnp.asarray(stack), DERIV_5PT))
-        dy = np.asarray(conv_vert(jnp.asarray(stack), DERIV_5PT))
-        # [J+1, H, W, 3] layout for the gather-heavy tracking kernels
-        data_hw = np.moveaxis(stack, 1, -1)
-        dx_hw = np.moveaxis(dx, 1, -1)
-        dy_hw = np.moveaxis(dy, 1, -1)
+        with phase("dt.derivs"):
+            dx = np.asarray(conv_horiz(jnp.asarray(stack), DERIV_5PT))
+            dy = np.asarray(conv_vert(jnp.asarray(stack), DERIV_5PT))
+            # [J+1, H, W, 3] layout for the gather-heavy tracking kernels
+            data_hw = np.moveaxis(stack, 1, -1)
+            dx_hw = np.moveaxis(dx, 1, -1)
+            dy_hw = np.moveaxis(dy, 1, -1)
 
-        sw = smoothness_weight(stack[0], avg, std,
-                               tp.parameter("16bit", "0", bool))
+        with phase("dt.smooth_weight"):
+            sw = smoothness_weight(stack[0], avg, std,
+                                   tp.parameter("16bit", "0", bool))
 
         # ------------------------------------------ per-rate jet estimations
         rate_flows = []
@@ -193,22 +199,25 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
             r_skip = int(max_fps / params.jet_fps[r]) if max_fps else 1
 
             fwd, bwd = [], []
-            for f in range(r_jets):
-                base = tp.sequence_start + f * r_steps * r_skip
-                f_file = os.path.join(params.jet_estimation[r],
-                                      (flow_format % base) + ".flo")
-                b_file = os.path.join(
-                    params.jet_estimation[r],
-                    (flow_format % (base + r_steps * r_skip)) + "_back.flo")
-                if not (os.path.exists(f_file) and os.path.exists(b_file)):
-                    print(f"{f_file} or backward does not exist!",
-                          file=sys.stderr)
-                    ok = False
-                    break
-                ff = _resize_flow_np(read_flo(f_file), oh, ow)
-                bb = _resize_flow_np(read_flo(b_file), oh, ow)
-                fwd.append(ff)
-                bwd.append(bb)
+            with phase("dt.read_jet_flows"):
+                for f in range(r_jets):
+                    base = tp.sequence_start + f * r_steps * r_skip
+                    f_file = os.path.join(params.jet_estimation[r],
+                                          (flow_format % base) + ".flo")
+                    b_file = os.path.join(
+                        params.jet_estimation[r],
+                        (flow_format % (base + r_steps * r_skip))
+                        + "_back.flo")
+                    if not (os.path.exists(f_file)
+                            and os.path.exists(b_file)):
+                        print(f"{f_file} or backward does not exist!",
+                              file=sys.stderr)
+                        ok = False
+                        break
+                    ff = _resize_flow_np(read_flo(f_file), oh, ow)
+                    bb = _resize_flow_np(read_flo(b_file), oh, ow)
+                    fwd.append(ff)
+                    bwd.append(bb)
             if not ok:
                 break
             fwd = np.stack(fwd)
@@ -266,16 +275,18 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
         # EPIC context on the (subsampled) reference image
         epic_ctx = None
         if cfg.epic_interpolation:
-            img_scale = 1.0 / (cfg.skip_pixel + 1)
-            ref8 = np.clip(data[0] / 255.0, 0, 255) \
-                if tp.parameter("16bit", "0", bool) else data[0]
-            if img_scale != 1.0:
-                nh = int(oh * img_scale)
-                nw = int(ow * img_scale)
-                ref8 = np.asarray(resize_bilinear(jnp.asarray(ref8), nh, nw))
-            edges = np.asarray(detect_edges(jnp.asarray(ref8)))
-            imlab = np.asarray(rgb_to_lab(jnp.asarray(ref8)))
-            epic_ctx = (imlab, edges, EpicParams.sintel())
+            with phase("dt.epic_ctx"):
+                img_scale = 1.0 / (cfg.skip_pixel + 1)
+                ref8 = np.clip(data[0] / 255.0, 0, 255) \
+                    if tp.parameter("16bit", "0", bool) else data[0]
+                if img_scale != 1.0:
+                    nh = int(oh * img_scale)
+                    nw = int(ow * img_scale)
+                    ref8 = np.asarray(resize_bilinear(jnp.asarray(ref8),
+                                                      nh, nw))
+                edges = np.asarray(detect_edges(jnp.asarray(ref8)))
+                imlab = np.asarray(rgb_to_lab(jnp.asarray(ref8)))
+                epic_ctx = (imlab, edges, EpicParams.sintel())
 
         return dict(start_jet=start_jet, final_file=final_file,
                     sequence_start=tp.sequence_start,
@@ -303,19 +314,22 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
             flush(without)
             return
         t0 = time.time()
-        flows, occs, info = track_final_pairs_batched(
-            cfg, jobs, weight_jet, verbose=verbose,
-            init_workers=n_threads)
+        with phase("dt.track"):
+            flows, occs, info = track_final_pairs_batched(
+                cfg, jobs, weight_jet, verbose=verbose,
+                init_workers=n_threads)
         for job, flow, occ_map in zip(jobs, flows, occs):
             stats["variables"].extend(info.get("variables", []))
             stats["factors"].extend(info.get("factors", []))
-            write_flo(job["final_file"], flow)
-            write_pbm(acc_folder
-                      + f"occlusions/frame_{job['sequence_start']}.pbm",
-                      occ_map)
-            vis = flow_color_img(flow[..., 0], flow[..., 1])
-            write_image(os.path.splitext(job["final_file"])[0] + "_vis.png",
-                        vis)
+            with phase("dt.write_outputs"):
+                write_flo(job["final_file"], flow)
+                write_pbm(acc_folder
+                          + f"occlusions/frame_{job['sequence_start']}.pbm",
+                          occ_map)
+                vis = flow_color_img(flow[..., 0], flow[..., 1])
+                write_image(
+                    os.path.splitext(job["final_file"])[0] + "_vis.png",
+                    vis)
         for k, v in info.get("timing", {}).items():
             timing[k] = timing.get(k, 0.0) + v
         wall = time.time() - t0
@@ -371,6 +385,7 @@ def run(cfg_path: str, select=-1, resume=False, output=None, threads=None,
                  + "".join(f"\t{v}" for v in stats["variables"]) + "\n")
         fh.write("\tFactors:"
                  + "".join(f"\t{f}" for f in stats["factors"]) + "\n\n")
+    phase_report()
     print("Done!")
     return 0
 
