@@ -11,6 +11,13 @@ when both sides take the banded fallback.
 import numpy as np
 import pytest
 
+# The whole module compiles large Pallas-interpret XLA:CPU executables: the
+# persistent compilation cache crashes natively on this class on BOTH the
+# write (zstd serialize) and read (deserialize) paths — keep it off here
+# (see conftest._nocache_compilation).
+pytestmark = pytest.mark.nocache
+
+
 
 import jax.numpy as jnp
 

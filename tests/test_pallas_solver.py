@@ -8,6 +8,13 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# The whole module compiles large Pallas-interpret XLA:CPU executables: the
+# persistent compilation cache crashes natively on this class on BOTH the
+# write (zstd serialize) and read (deserialize) paths — keep it off here
+# (see conftest._nocache_compilation).
+pytestmark = pytest.mark.nocache
+
+
 from slowflow_tpu.core.solver import sor_coupled_rb
 
 

@@ -5,6 +5,13 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# The whole module compiles large Pallas-interpret XLA:CPU executables: the
+# persistent compilation cache crashes natively on this class on BOTH the
+# write (zstd serialize) and read (deserialize) paths — keep it off here
+# (see conftest._nocache_compilation).
+pytestmark = pytest.mark.nocache
+
+
 from slowflow_tpu.variational import MultiFrameParams, variational_mt
 from slowflow_tpu.variational.multiframe import compute_smoothness_mt
 from slowflow_tpu.core.penalty import make_penalty
