@@ -5,21 +5,40 @@
 # on hosts with that sitecustomize. The multi-device mesh test skips without
 # them; everything else is env-agnostic.
 #
-# Tiers: default = fast tier (skips tests marked `slow`); `--all` runs the
-# full suite including the multi-minute interpret-mode kernel-equivalence
-# tests. Tests marked `nocache` disable the JAX persistent compilation cache
-# around their body (conftest fixture) — the cache writer segfaults natively
-# on the huge merged-warp executables on this host (round-4 verdict root
-# cause), so those compiles must never hit the persistent cache.
+# Tiers:
+#   default : fast tier (skips tests marked `slow`), one pytest process.
+#   --all   : full suite, ONE PYTEST PROCESS PER MODULE. The large Pallas-
+#             interpret merged-kernel programs destabilize native XLA:CPU
+#             state cumulatively: three cold full-suite runs crashed natively
+#             at the same test (in the cache serializer, the cache
+#             deserializer, and the compiler itself respectively) while that
+#             test passes in isolation — process isolation per module bounds
+#             the native state and makes a crash attributable.
+# Tests marked `nocache` additionally disable the JAX persistent compilation
+# cache around their body (conftest fixture): cache serialize AND deserialize
+# of that executable class crash natively on this host.
+run_env() {
+    env \
+        JAX_PLATFORMS=cpu \
+        PALLAS_AXON_POOL_IPS= \
+        XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
+        JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}" \
+        "$@"
+}
+
 if [ "$1" = "--all" ]; then
     shift
-    set -- "$@"
-else
-    set -- -m "not slow" "$@"
+    fail=0
+    for f in tests/test_*.py; do
+        echo "==== $f ===="
+        run_env python -m pytest "$f" "$@" || fail=1
+    done
+    echo "==== overall: $( [ $fail -eq 0 ] && echo GREEN || echo FAILURES ) ===="
+    exit $fail
 fi
 exec env \
     JAX_PLATFORMS=cpu \
     PALLAS_AXON_POOL_IPS= \
     XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
     JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}" \
-    python -m pytest tests/ "$@"
+    python -m pytest tests/ -m "not slow" "$@"
