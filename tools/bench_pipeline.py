@@ -148,11 +148,27 @@ def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
     assert rc == 0
     t2 = time.perf_counter() - t0
 
+    def bg_mask(f_lo: int, f_hi: int):
+        """True background pixels over frames [f_lo, f_hi]: everything
+        outside the foreground disc's trajectory corridor (the corridor's
+        true flow is the DISC's counter-motion, so scoring it against the
+        background constant penalizes correct output — the r4 pipeline
+        dt_flow_err 0.105 'overshoot' was exactly this, deterministic
+        across repeats, not noise)."""
+        yy, xx = np.mgrid[0:H, 0:W]
+        cy, cx, r = H // 2, W // 2, min(H, W) // 6
+        m = np.ones((H, W), bool)
+        for f in range(f_lo, f_hi + 1):
+            m &= ((yy - (cy + f * V)) ** 2
+                  + (xx - (cx - f * U)) ** 2) >= (r + 6) ** 2
+        return m
+
     flow0 = read_flo(root / "sf_out" / f"frame_{START:04d}.flo")
     inner = (slice(12, -12), slice(12, -12))
     bg = np.hypot(flow0[inner][..., 0] - steps * U,
                   flow0[inner][..., 1] - steps * V)
-    sf_err = float(np.median(bg))
+    sf_mask = bg_mask(START, START + steps)[inner]
+    sf_err = float(np.median(bg[sf_mask]))
 
     # ---------------------------------------------------------- stage 3
     cfg3 = root / "dense_tracking.cfg"
@@ -194,9 +210,13 @@ def run_pipeline(root: Path, jets: int, finals: int, samples: int = 4,
     # final flow is in subsampled-grid units: the reference divides by
     # xy_incr = acc_skip_pixel + 1 (dense_tracking.cpp:1856-1857)
     xy_incr = 2.0
-    dt_bg = np.hypot(dt_flow[inner][..., 0] - dt_jets * steps * U / xy_incr,
-                     dt_flow[inner][..., 1] - dt_jets * steps * V / xy_incr)
-    dt_err = float(np.median(dt_bg))
+    dt_inner = (slice(6, -6), slice(6, -6))
+    dt_bg = np.hypot(
+        dt_flow[dt_inner][..., 0] - dt_jets * steps * U / xy_incr,
+        dt_flow[dt_inner][..., 1] - dt_jets * steps * V / xy_incr)
+    dt_mask = bg_mask(START, START + dt_jets * steps)[::int(xy_incr),
+                                                      ::int(xy_incr)]
+    dt_err = float(np.median(dt_bg[dt_mask[dt_inner]]))
 
     solves = 2 * jets                       # forward + backward per jet
     return {
