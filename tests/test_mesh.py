@@ -101,15 +101,21 @@ def test_shard_map_jet_axis_bitwise_vs_single():
 
 
 @pytest.mark.slow
-@pytest.mark.nocache  # round-4 "native XLA:CPU" crash was the compilation-
-# cache WRITE of the huge merged-warp executable (verdict r4 root cause);
-# with the persistent cache off the compile+run is clean.
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.nocache
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
 def test_shard_map_merge_warp_bitwise_vs_single():
     """The merged warp+assembly kernel (merge_warp=True) composes with
     shard_map jet sharding: sharded vs single-device unrolled runs must stay
     bitwise equal, exactly like the two-kernel path — guards the composition
-    if the merge_warp default flips after the on-chip A/B."""
+    if the merge_warp default flips after the on-chip A/B.
+
+    4 devices, not 8: the 8-partition variant of this program segfaults the
+    native XLA:CPU compiler deterministically — in an isolated fresh
+    process with the persistent compilation cache fully disabled (round-5
+    forensics; the round-4 "cache write" hypothesis was wrong for THIS
+    test, right for the single-device ones). The 4-partition program
+    compiles and the bitwise sharded-vs-single guarantee is device-count
+    agnostic."""
     from slowflow_tpu.variational.multiframe import (
         variational_mt_batched, variational_mt_sharded)
 
@@ -117,8 +123,8 @@ def test_shard_map_merge_warp_bitwise_vs_single():
                          niter_alter=1, niter_outer=2, niter_solver=6,
                          occlusion_reasoning=True, smoothing=1,
                          merge_warp=True)
-    args = _inputs(8, 3, 32, 40)
-    mesh = make_mesh(n_jet=8, n_sp=1)
+    args = _inputs(4, 3, 32, 40)
+    mesh = make_mesh(n_jet=4, n_sp=1, devices=jax.devices()[:4])
     wx, wy, seq, cw, na, ns = args
     sharded = variational_mt_sharded(wx, wy, seq, p, mesh, cw, na, ns)
     single = variational_mt_batched(wx, wy, seq, p, cw, na, ns)
