@@ -12,6 +12,10 @@ import textwrap
 import numpy as np
 import pytest
 
+# multi-minute module (measured r5 cold run); excluded from the fast tier
+pytestmark = pytest.mark.slow
+
+
 from slowflow_tpu.io import read_flo
 
 from test_e2e import make_sequence, U, V

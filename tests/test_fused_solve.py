@@ -14,7 +14,7 @@ import pytest
 # persistent compilation cache crashes natively on this class on BOTH the
 # write (zstd serialize) and read (deserialize) paths — keep it off here
 # (see conftest._nocache_compilation).
-pytestmark = pytest.mark.nocache
+pytestmark = [pytest.mark.nocache, pytest.mark.slow]
 
 
 from slowflow_tpu.core.penalty import make_penalty

@@ -75,6 +75,7 @@ def test_dryrun_multichip_inprocess():
     g._dryrun_body(len(jax.devices()))
 
 
+@pytest.mark.slow          # 712 s in the r5 cold run
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_shard_map_jet_axis_bitwise_vs_single():
     """variational_mt_sharded (shard_map over jet, unrolled Pallas body per
@@ -133,6 +134,7 @@ def test_shard_map_merge_warp_bitwise_vs_single():
                                       err_msg=name)
 
 
+@pytest.mark.slow          # 294 s in the r5 cold run
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
 def test_shard_map_local_batched_kernels_vs_single():
     """shard_map over jet with a LOCAL batch > 1 per device routes each
