@@ -487,7 +487,36 @@ def _fused_solve_cv(p, interpret: bool, zero_init: bool = False,
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
         args = _broadcast_unbatched(axis_size, in_batched, args)
-        out = fused_solve_step_batched(*args, **kw)
+        h, w = args[0].shape[-2:]
+        # Inside the solve's while-loops XLA keeps every pallas_call
+        # operand/result plane VMEM-resident (S(1), see the memory
+        # discipline note in docs/PROFILING.md): under vmap the batch axis
+        # multiplies that footprint, and at production shapes (b=4,
+        # 480x270) the ~10 [B, H, W] planes blow the ~18 MB scoped budget
+        # (measured: 21.77M > 18.11M, AOT OOM). Past the budget, take the
+        # composed XLA path — same fixed point, no VMEM residency.
+        if axis_size * h * w * 4 * 10 > 14 * 1024 * 1024:
+            def one(a):
+                uu, vv, dpsis = a[0], a[1], a[2]
+                a11, a12, a22, b1, b2 = a[3:8]
+                du = a[8] if len(a) > 8 else jnp.zeros_like(uu)
+                dv = a[9] if len(a) > 9 else jnp.zeros_like(uu)
+                wh, wv = compute_smoothness_mt(uu, vv, dpsis, p.alpha,
+                                               reg_pen, p.smoothing)
+                b1_ = sub_laplacian(b1, uu, wh, wv)
+                b2_ = sub_laplacian(b2, vv, wh, wv)
+                ndu, ndv = sor_coupled_rb(du, dv, a11, a12, a22, b1_, b2_,
+                                          wh, wv, iterations=p.niter_solver,
+                                          omega=p.sor_omega)
+                if with_change:
+                    sums = jnp.stack([jnp.abs(ndu - du).sum(),
+                                      jnp.abs(ndv - dv).sum()])
+                    return ndu, ndv, sums
+                return ndu, ndv
+
+            out = jax.vmap(lambda *a: one(a))(*args)
+        else:
+            out = fused_solve_step_batched(*args, **kw)
         return out, (True,) * n_out
 
     _cache[key] = fn
